@@ -1,0 +1,155 @@
+"""Energy terms for the two-stage latent optimization.
+
+Pure functions of the decoded pose window and its context; semantics match
+the reference's `BodyPoseOptimizer` energies (reference: optimizer.py:96-240)
+term by term.  Everything is written for a single window `(T, 15, 3)` and is
+`vmap`-ed across the whole batch of windows by the pipeline — the reference
+processes windows serially; here all windows of all sequences evaluate in
+one fused device launch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from globalegomocap_tpu.ops.skeleton import bone_lengths
+from globalegomocap_tpu.ops.sampling import grid_sample_bilinear
+from globalegomocap_tpu.ops import fisheye
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class EnergyWeights:
+    """Weights of the total energy (reference: optimizer.py:73-79, 226-240).
+
+    The reference's driver derives the stage weights from CLI flags
+    (optimizer.py:352-358): the global stage gets
+    {3d: w3d, smooth: s, bone: 0.01, reproj: 0} and the local stage
+    {3d: w3d/1e4, smooth: s/100, bone: b, reproj: r}.
+    """
+    weight_3d: jnp.ndarray
+    smooth: jnp.ndarray
+    bone_length: jnp.ndarray
+    vae: jnp.ndarray
+    reproj: jnp.ndarray
+    gmm: jnp.ndarray
+
+    @staticmethod
+    def create(weight_3d=0.01, smooth=0.001, bone_length=0.01, vae=0.0,
+               reproj=0.01, gmm=0.0) -> "EnergyWeights":
+        f = lambda v: jnp.asarray(v, dtype=jnp.float32)
+        return EnergyWeights(f(weight_3d), f(smooth), f(bone_length),
+                             f(vae), f(reproj), f(gmm))
+
+
+def pose_energy_3d(pose: jnp.ndarray, initial_pose: jnp.ndarray) -> jnp.ndarray:
+    """Squared distance to the stage's initial pose estimate
+    (reference: optimizer.py:210-213)."""
+    return jnp.sum(jnp.square(pose - initial_pose))
+
+
+def smooth_acceleration_energy(pose: jnp.ndarray) -> jnp.ndarray:
+    """Sum of squared second temporal differences — acceleration smoothness
+    (reference: optimizer.py:202-208).  pose: (T, 15, 3)."""
+    velocity = pose[:-1] - pose[1:]
+    acceleration = velocity[:-1] - velocity[1:]
+    return jnp.sum(jnp.square(acceleration))
+
+
+def soft_smooth_energy(pose: jnp.ndarray,
+                       smoothed_pose: jnp.ndarray) -> jnp.ndarray:
+    """Squared distance to a pre-smoothed pose (reference:
+    optimizer.py:188-192; inactive in the default pipeline but part of the
+    energy library)."""
+    return jnp.sum(jnp.square(smoothed_pose - pose))
+
+
+def bone_length_energy(pose: jnp.ndarray,
+                       mean_bone_length: jnp.ndarray) -> jnp.ndarray:
+    """Squared deviation of every frame's bone lengths from the sequence's
+    mean bone lengths (reference: optimizer.py:172-177).
+
+    pose: (T, 15, 3); mean_bone_length: (15,)."""
+    predicted = bone_lengths(pose)  # (T, 15)
+    return jnp.sum(jnp.square(predicted - mean_bone_length))
+
+
+def vae_energy(pose: jnp.ndarray) -> jnp.ndarray:
+    """Sum of squares of the decoded pose.  NOTE: the reference applies this
+    "vae" regularizer to the decoded pose, not to the latent
+    (optimizer.py:238 passes the pose into vae_energy), with default weight
+    0; replicated as-is."""
+    return jnp.sum(jnp.square(pose))
+
+
+def reprojection_energy(pose: jnp.ndarray, initial_pose_2d: jnp.ndarray,
+                        camera: fisheye.FisheyeParams) -> jnp.ndarray:
+    """Squared 2D distance between projected joints and the initial
+    2D estimate (reference: optimizer.py:96-100)."""
+    p2d = fisheye.world2camera(camera, pose.reshape(-1, 3))
+    return jnp.sum(jnp.square(p2d - initial_pose_2d))
+
+
+def project_to_heatmap_grid(pose: jnp.ndarray,
+                            camera: fisheye.FisheyeParams) -> jnp.ndarray:
+    """Project a pose window to normalized heatmap grid coordinates.
+
+    The heatmaps were predicted on the 1024x1024 center crop of the
+    1280x1024 fisheye image, so the projected x shifts by -128 and both axes
+    normalize by (p - 512)/512 into [-1, 1]
+    (reference: optimizer.py:143-144).
+
+    pose: (..., 3) -> (..., 2) in [-1, 1].
+    """
+    p2d = fisheye.world2camera(camera, pose)
+    p2d = p2d.at[..., 0].add(-128.0)
+    return (p2d - 512.0) / 512.0
+
+
+def heatmap_energy(pose: jnp.ndarray, heatmaps: jnp.ndarray,
+                   camera: fisheye.FisheyeParams) -> jnp.ndarray:
+    """Negative sum of heatmap likelihood sampled at the projected joints
+    (reference: optimizer.py:139-149 `reprojection_energy_heatmap_fast`).
+
+    pose:     (T, 15, 3) decoded window (camera frame).
+    heatmaps: (T, 15, H, W) per-joint score maps (already permuted from the
+              stored (T, H, W, 15) layout by the pipeline).
+    """
+    t, j = heatmaps.shape[0], heatmaps.shape[1]
+    grid = project_to_heatmap_grid(pose.reshape(t * j, 3), camera)
+    maps = heatmaps.reshape(t * j, heatmaps.shape[-2], heatmaps.shape[-1])
+    sampled = grid_sample_bilinear(maps, grid)
+    return -jnp.sum(sampled)
+
+
+def total_energy_from_pose(pose: jnp.ndarray,
+                           initial_pose: jnp.ndarray,
+                           mean_bone_length: jnp.ndarray,
+                           heatmaps: jnp.ndarray,
+                           camera: fisheye.FisheyeParams,
+                           weights: EnergyWeights,
+                           use_reproj: bool,
+                           gmm_score_fn=None) -> jnp.ndarray:
+    """The total loss of a stage given an already-decoded pose window
+    (reference: optimizer.py:226-240).
+
+    `use_reproj` is a static Python bool: the reference skips the heatmap
+    term entirely when its weight is 0 (the global stage), which we mirror
+    at trace time so the compiled global-stage program contains no
+    projection code at all.
+    """
+    e = (weights.weight_3d * pose_energy_3d(pose, initial_pose)
+         + weights.smooth * smooth_acceleration_energy(pose)
+         + weights.bone_length * bone_length_energy(pose, mean_bone_length)
+         + weights.vae * vae_energy(pose))
+    if use_reproj:
+        e = e + weights.reproj * heatmap_energy(pose, heatmaps, camera)
+    if gmm_score_fn is not None:
+        # optional GMM pose prior: negative log-likelihood of the window
+        # (the reference plumbs --gmm but never adds the term to total_loss,
+        # optimizer.py:226-240; here it is available and defaults to 0).
+        e = e + weights.gmm * -jnp.sum(gmm_score_fn(pose.reshape(1, -1)))
+    return e

@@ -1,0 +1,51 @@
+"""Bilinear grid sampling with `align_corners=True` + zero padding semantics.
+
+This is the exact sampling contract of the heatmap reprojection energy
+(reference: optimizer.py:139-149 uses torch.nn.functional.grid_sample with
+align_corners=True and default zero padding), implemented as pure gathers so
+it vmaps over (window, frame, joint) and differentiates cleanly under
+jax.grad.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def grid_sample_bilinear(images: jnp.ndarray, grid_xy: jnp.ndarray
+                         ) -> jnp.ndarray:
+    """Sample each image at one (or more) normalized grid points.
+
+    images:  (..., H, W) one single-channel image per leading index.
+    grid_xy: (..., 2) normalized coordinates in [-1, 1]; x indexes width,
+             y indexes height; broadcast-compatible with images' leading axes.
+    returns  (...,) bilinearly interpolated values; out-of-bounds corner taps
+             contribute zero (torch zero-padding semantics).
+    """
+    h, w = images.shape[-2], images.shape[-1]
+
+    # align_corners=True: -1 -> 0, +1 -> size-1
+    ix = (grid_xy[..., 0] + 1.0) * 0.5 * (w - 1)
+    iy = (grid_xy[..., 1] + 1.0) * 0.5 * (h - 1)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    wx1 = ix - x0
+    wx0 = 1.0 - wx1
+    wy1 = iy - y0
+    wy0 = 1.0 - wy1
+
+    def tap(yf, xf, weight):
+        inb = (xf >= 0) & (xf <= w - 1) & (yf >= 0) & (yf <= h - 1)
+        xi = jnp.clip(xf, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yf, 0, h - 1).astype(jnp.int32)
+        vals = jnp.take_along_axis(
+            jnp.take_along_axis(images, yi[..., None, None], axis=-2),
+            xi[..., None, None], axis=-1)[..., 0, 0]
+        return jnp.where(inb, vals, 0.0) * weight
+
+    return (tap(y0, x0, wy0 * wx0) + tap(y0, x1, wy0 * wx1)
+            + tap(y1, x0, wy1 * wx0) + tap(y1, x1, wy1 * wx1))
