@@ -1,0 +1,117 @@
+"""Optimize all chunks of a sequence directory.
+
+Drop-in CLI for the reference's headline workload
+(`python optimize_whole_sequence.py --data_path data/jian3 ...`,
+reference: optimize_whole_sequence.py:9-23), same flags and defaults,
+plus checkpoint-source and solver options.
+
+    python -m globalegomocap_tpu.cli.optimize_sequence \
+        --data_path data/jian3 \
+        --local_ckpt <local_vae.msgpack|.pth.tar> \
+        --global_ckpt <global_vae.msgpack|.pth.tar>
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def str2bool(x: str) -> bool:
+    return str(x).lower() == "true"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_path", required=True, type=str)
+    p.add_argument("--camera", default="egosyn", type=str,
+                   help="built-in calibration name or a JSON path")
+    p.add_argument("--vae", default=0.0, type=float)
+    p.add_argument("--gmm", default=0.0, type=float)
+    p.add_argument("--smooth", default=0.001, type=float)
+    p.add_argument("--bone_length", default=0.01, type=float)
+    p.add_argument("--weight_3d", default=0.01, type=float)
+    p.add_argument("--reproj_weight", default=0.01, type=float)
+    p.add_argument("--save", default=False, type=str2bool,
+                   help="export aligned skeleton meshes as PLY")
+    p.add_argument("--final_smooth", default=True, type=str2bool)
+    p.add_argument("--merge", default=True, type=str2bool)
+    p.add_argument("--local_ckpt", required=True, type=str)
+    p.add_argument("--global_ckpt", required=True, type=str)
+    p.add_argument("--latent_dim", default=2048, type=int)
+    p.add_argument("--seq_len", default=10, type=int)
+    p.add_argument("--solver", default="lbfgs", choices=["lbfgs", "adam"])
+    p.add_argument("--out_dir", default="out", type=str)
+    return p
+
+
+def load_variables(path: str, seq_len: int, hidden_dims):
+    """Load prior variables from either a torch .pth.tar or a flax
+    msgpack checkpoint."""
+    import jax
+    import jax.numpy as jnp
+    if path.endswith((".pth.tar", ".pth", ".tar", ".pt")):
+        from globalegomocap_tpu.models.torch_convert import (
+            load_torch_checkpoint)
+        v = load_torch_checkpoint(path, seq_len, hidden_dims)
+    else:
+        from flax import serialization
+        with open(path, "rb") as f:
+            blob = serialization.msgpack_restore(f.read())
+        v = {"params": blob["params"], "batch_stats": blob["batch_stats"]}
+    return jax.tree_util.tree_map(jnp.asarray, v)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, EnergyConfig, PriorConfig, SolverConfig)
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model, optimize_sequence_dir)
+
+    cfg = OptimizeConfig(
+        energy=EnergyConfig(vae=args.vae, gmm=args.gmm, smooth=args.smooth,
+                            bone_length=args.bone_length,
+                            weight_3d=args.weight_3d,
+                            reproj=args.reproj_weight),
+        prior=PriorConfig(latent_dim=args.latent_dim, seq_len=args.seq_len),
+        solver=SolverConfig(method=args.solver),
+        camera=args.camera,
+        final_smooth=args.final_smooth,
+        merge=args.merge,
+    )
+    model = build_model(cfg)
+    hd = tuple(cfg.prior.hidden_dims)
+    opt = SequenceOptimizer(
+        model,
+        load_variables(args.local_ckpt, args.seq_len, hd),
+        load_variables(args.global_ckpt, args.seq_len, hd),
+        cfg)
+    errors, averages, timing = optimize_sequence_dir(opt, args.data_path)
+
+    if args.save and errors:
+        import os
+        import numpy as np
+        from globalegomocap_tpu.data.test_data import (
+            list_chunk_dirs, load_test_chunk)
+        from globalegomocap_tpu.evaluation.metrics import (
+            align_sequence_globally)
+        from globalegomocap_tpu.tools.ply import save_skeleton_sequence
+        for chunk_dir in list_chunk_dirs(args.data_path):
+            chunk = load_test_chunk(chunk_dir)
+            _, est, _, opt_seq, gt = opt.run(chunk, with_metrics=False)
+            name = os.path.basename(chunk_dir)
+            base = os.path.join(args.out_dir, name)
+            save_skeleton_sequence(
+                np.asarray(align_sequence_globally(opt_seq, gt)),
+                os.path.join(base, "optimized_global_aligned"))
+            save_skeleton_sequence(
+                np.asarray(align_sequence_globally(est, gt)),
+                os.path.join(base, "input_global_aligned"))
+            save_skeleton_sequence(gt, os.path.join(base,
+                                                    "gt_global_aligned"))
+    return averages
+
+
+if __name__ == "__main__":
+    main()

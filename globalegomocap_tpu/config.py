@@ -1,0 +1,109 @@
+"""One typed configuration surface for the whole framework.
+
+Replaces the reference's two argparse surfaces (networks/config.py executed
+at import; per-driver __main__ argparse blocks) and its hard-coded constants
+(seq_len/overlap/dilation at optimizer.py:328-330, weight rescalings at
+optimizer.py:352-358, heatmap geometry constants at optimizer.py:133-144).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class WindowConfig:
+    seq_len: int = 10
+    overlap: int = 2
+
+    @property
+    def stride(self) -> int:
+        return self.seq_len - self.overlap
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Latent solver settings (reference torch LBFGS: optimizer.py:261-262)."""
+    method: str = "lbfgs"          # 'lbfgs' | 'adam'
+    lr: float = 2.0
+    max_iter: int = 25
+    history_size: int = 25
+    tolerance_change: float = 1e-6
+    tolerance_grad: float = 1e-7
+    max_ls_evals: int = 25
+    adam_steps: int = 150
+    adam_lr: float = 0.05
+
+
+@dataclass(frozen=True)
+class EnergyConfig:
+    """CLI-level energy weights (reference defaults:
+    optimize_whole_sequence.py:14-19).  Stage-specific rescalings
+    (optimizer.py:352-358) are applied by the pipeline."""
+    vae: float = 0.0
+    gmm: float = 0.0
+    smooth: float = 0.001
+    bone_length: float = 0.01
+    weight_3d: float = 0.01
+    reproj: float = 0.01
+
+
+@dataclass(frozen=True)
+class HeatmapGeometry:
+    """Constants tying the 64x64 heatmaps to the 1280x1024 fisheye image
+    (reference: optimizer.py:133-144): heatmaps were predicted on the
+    1024x1024 center crop, so x shifts by -crop_offset and coordinates
+    normalize by (p - half) / half."""
+    crop_offset: float = 128.0
+    half_extent: float = 512.0
+
+
+@dataclass(frozen=True)
+class PriorConfig:
+    latent_dim: int = 2048
+    seq_len: int = 10
+    hidden_dims: tuple = (64, 64, 128, 256, 512)
+    in_channels: int = 45
+
+
+@dataclass(frozen=True)
+class OptimizeConfig:
+    window: WindowConfig = field(default_factory=WindowConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    energy: EnergyConfig = field(default_factory=EnergyConfig)
+    prior: PriorConfig = field(default_factory=PriorConfig)
+    heatmap: HeatmapGeometry = field(default_factory=HeatmapGeometry)
+    camera: str = "egosyn"          # built-in name or a calibration path
+    final_smooth: bool = True
+    final_smooth_sigma: float = 1.0
+    input_smooth_sigma: float = 1.0
+    merge: bool = True
+    compute_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """VAE training settings (reference: networks/config.py + the four
+    launch .sh scripts: latent 2048, kl 0.5, seq 10, batch 64, fps 25)."""
+    train_data_path: str = ""
+    latent_dim: int = 2048
+    seq_length: int = 10
+    fps: int = 25
+    kl_weight: float = 0.5
+    epochs: int = 20
+    batch_size: int = 64
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    slide_window_step: int = 1
+    data_balance: bool = False
+    with_mo2cap2_data: bool = False
+    local_pose: bool = False        # local-pose VAE vs relative-global VAE
+    log_dir: str = "logs"
+    log_step: int = 100
+    seed: int = 0
+    num_devices: int = 0            # 0 = all available (data parallel)
+
+
+def with_overrides(cfg, **kwargs):
+    """Functional update helper for frozen configs."""
+    return replace(cfg, **kwargs)

@@ -1,0 +1,151 @@
+"""Synthetic data fixtures.
+
+The reference's evaluation data (5 mocap studio sequences) and its trained
+VAE checkpoints are external downloads not present in either repo, so the
+test-suite and benchmark fixtures are generated: physically-consistent
+synthetic sequences where the local pose, SLAM camera trajectory, fisheye
+heatmaps and world-frame ground truth all agree by construction, with
+controllable estimation noise.  This mirrors the data contracts of
+`test_data.pkl` and the AMASS training pkls exactly
+(reference: process_test_data.py:149-155; networks/dataset/
+global_dataset.py:88-100).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from globalegomocap_tpu.data.test_data import TestChunk
+from globalegomocap_tpu.ops.skeleton import MEAN3D_MM
+from globalegomocap_tpu.ops import fisheye
+
+
+def _rotz(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+
+def _base_local_pose() -> np.ndarray:
+    """The mean skeleton in metres, expressed in a head-camera frame
+    (z = depth below the cap camera) — the reference's local-pose frame."""
+    return (MEAN3D_MM.T / 1000.0).astype(np.float64)  # (15, 3)
+
+
+def synthetic_motion(n_frames: int, seed: int = 0,
+                     motion_scale: float = 0.05) -> np.ndarray:
+    """(N, 15, 3) smooth local-pose motion around the mean skeleton:
+    superposed sinusoids with per-joint phase, plus slow breathing sway."""
+    rng = np.random.default_rng(seed)
+    base = _base_local_pose()
+    t = np.arange(n_frames)[:, None, None] / 25.0  # seconds at 25 fps
+    freq = rng.uniform(0.3, 1.2, size=(1, 15, 3))
+    phase = rng.uniform(0, 2 * np.pi, size=(1, 15, 3))
+    amp = rng.uniform(0.2, 1.0, size=(1, 15, 3)) * motion_scale
+    wobble = amp * np.sin(2 * np.pi * freq * t + phase)
+    sway = 0.01 * np.sin(2 * np.pi * 0.25 * t[:, :, :1])
+    return base[None] + wobble + sway
+
+
+def synthetic_camera_trajectory(n_frames: int, seed: int = 0
+                                ) -> np.ndarray:
+    """(N, 4, 4) smooth cam->world trajectory: walking arc with slow yaw."""
+    rng = np.random.default_rng(seed + 1)
+    t = np.arange(n_frames) / 25.0
+    speed = rng.uniform(0.5, 1.0)
+    radius = rng.uniform(3.0, 6.0)
+    ang = speed * t / radius
+    pos = np.stack([radius * np.sin(ang),
+                    radius * (1 - np.cos(ang)),
+                    1.6 + 0.03 * np.sin(2 * np.pi * 1.4 * t)], axis=1)
+    mats = np.tile(np.eye(4), (n_frames, 1, 1))
+    for i in range(n_frames):
+        mats[i, :3, :3] = _rotz(ang[i] + 0.05 * np.sin(2 * np.pi * 0.3 * t[i]))
+        mats[i, :3, 3] = pos[i]
+    return mats
+
+
+def render_heatmaps(local_pose: np.ndarray,
+                    camera: fisheye.FisheyeParams | None = None,
+                    size: int = 64, sigma_px: float = 1.5,
+                    ) -> np.ndarray:
+    """Render per-joint Gaussian heatmaps on the 64x64 grid of the
+    1024x1024 fisheye center crop, matching the geometry the optimizer's
+    heatmap energy assumes (x - 128, /16 downscale;
+    reference: optimizer.py:133-134, skeleton.py:87-88)."""
+    import jax.numpy as jnp
+
+    if camera is None:
+        camera = fisheye.default_camera("egosyn")
+    n, j = local_pose.shape[0], local_pose.shape[1]
+    p2d = np.asarray(fisheye.world2camera(
+        camera, jnp.asarray(local_pose.reshape(-1, 3))))  # full-image px
+    hx = (p2d[:, 0] - 128.0) / 16.0
+    hy = p2d[:, 1] / 16.0
+    grid = np.arange(size)
+    gx = grid[None, None, :]  # (1, 1, S)
+    gy = grid[None, :, None]  # (1, S, 1)
+    d2 = ((gx - hx[:, None, None]) ** 2 + (gy - hy[:, None, None]) ** 2)
+    maps = np.exp(-d2 / (2 * sigma_px ** 2)).astype(np.float32)
+    return maps.reshape(n, j, size, size).transpose(0, 2, 3, 1)  # (N,H,W,J)
+
+
+def synthetic_chunk(n_frames: int = 100, seed: int = 0,
+                    noise_std: float = 0.03,
+                    camera: fisheye.FisheyeParams | None = None
+                    ) -> TestChunk:
+    """A full synthetic test chunk in the test_data.pkl contract.
+
+    Ground truth = camera trajectory ∘ true local pose; the estimated local
+    pose is the truth plus white noise (mimicking per-frame network
+    estimation error); heatmaps peak at the TRUE projections so the
+    reprojection energy carries real signal.
+    """
+    rng = np.random.default_rng(seed + 2)
+    local_true = synthetic_motion(n_frames, seed)
+    cams = synthetic_camera_trajectory(n_frames, seed)
+
+    homo = np.concatenate(
+        [local_true, np.ones((n_frames, 15, 1))], axis=2)
+    gt_global = np.einsum("nij,nkj->nki", cams, homo)[:, :, :3]
+
+    noise = rng.normal(scale=noise_std, size=local_true.shape)
+    est_local = (local_true + noise).astype(np.float32)
+    est_global = np.einsum(
+        "nij,nkj->nki", cams,
+        np.concatenate([est_local, np.ones((n_frames, 15, 1))], axis=2)
+    )[:, :, :3]
+
+    heat = render_heatmaps(local_true, camera)
+    return TestChunk(
+        estimated_local=est_local.astype(np.float32),
+        estimated_global=est_global.astype(np.float32),
+        gt_global=gt_global.astype(np.float32),
+        camera_poses=cams.astype(np.float32),
+        heatmaps=heat,
+    )
+
+
+def synthetic_amass(n_sequences: int = 12, frames_per_seq: int = 300,
+                    frame_rate: int = 25, seed: int = 0) -> list[dict]:
+    """Synthetic AMASS-style training pkls: dicts with `local_pose_list`
+    (N, 15, 3), `cam_list` ({'loc','rot'} per frame) and `frame_rate`
+    (reference contract: networks/dataset/global_dataset.py:88-100)."""
+    from scipy.spatial.transform import Rotation
+
+    out = []
+    for s in range(n_sequences):
+        local = synthetic_motion(frames_per_seq, seed + 10 * s,
+                                 motion_scale=0.08)
+        cams = synthetic_camera_trajectory(frames_per_seq, seed + 10 * s)
+        cam_list = []
+        for i in range(frames_per_seq):
+            cam_list.append({
+                "loc": cams[i, :3, 3],
+                "rot": Rotation.from_matrix(cams[i, :3, :3]).as_quat(),
+            })
+        out.append({
+            "local_pose_list": local.astype(np.float32),
+            "cam_list": cam_list,
+            "frame_rate": frame_rate,
+        })
+    return out

@@ -66,11 +66,16 @@ def bone_lengths(skeleton: jnp.ndarray) -> jnp.ndarray:
               (entry 0 is always 0, the root).
 
     Mirrors the behaviour of the reference's bone-length computation
-    (reference: optimizer.py:89-94).
+    (reference: optimizer.py:89-94).  The norm is zero-safe under
+    differentiation: the root bone is identically zero and d|x|/dx at 0 is
+    NaN in plain autodiff (torch special-cases this; we must too since the
+    bone-length energy is differentiated through this function).
     """
     parents = jnp.asarray(_PARENTS)
     bones = skeleton - jnp.take(skeleton, parents, axis=-2)
-    return jnp.linalg.norm(bones, axis=-1)
+    sq = jnp.sum(jnp.square(bones), axis=-1)
+    nonzero = sq > 0
+    return jnp.sqrt(jnp.where(nonzero, sq, 1.0)) * nonzero
 
 
 def mean_bone_lengths(skeleton_seq: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,153 @@
+"""Per-sequence optimization driver: the public entry point mirroring the
+reference's `optimizer.main` contract (pickle-in / optimized-pose-out plus
+the 17-metric dict; reference: optimizer.py:311-507).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from globalegomocap_tpu.config import OptimizeConfig
+from globalegomocap_tpu.data.test_data import (
+    TestChunk, load_test_chunk, list_chunk_dirs)
+from globalegomocap_tpu.evaluation.metrics import calculate_errors
+from globalegomocap_tpu.models.conv_vae import ConvVAE
+from globalegomocap_tpu.ops import fisheye
+from globalegomocap_tpu.optimize.pipeline import (
+    make_chunk_optimizer, ChunkResult)
+
+
+def resolve_camera(cfg: OptimizeConfig) -> fisheye.FisheyeParams:
+    """Camera from a built-in name or a calibration JSON path."""
+    if cfg.camera in ("egosyn", "pose_fisheye"):
+        return fisheye.default_camera(cfg.camera)
+    return fisheye.load_calibration(cfg.camera)
+
+
+def build_model(cfg: OptimizeConfig) -> ConvVAE:
+    p = cfg.prior
+    return ConvVAE(in_channels=p.in_channels, out_channels=p.in_channels,
+                   latent_dim=p.latent_dim, seq_len=p.seq_len,
+                   hidden_dims=tuple(p.hidden_dims))
+
+
+@dataclass
+class SequenceOptimizer:
+    """Holds the two priors (local + global VAE variables) and a jit cache,
+    the rebuild of the reference's pair of `BodyPoseOptimizer`s
+    (optimizer.py:332-350)."""
+    model: ConvVAE
+    local_variables: Any
+    global_variables: Any
+    cfg: OptimizeConfig
+
+    def __post_init__(self):
+        self._camera = resolve_camera(self.cfg)
+        self._jitted = make_chunk_optimizer(self.model, self.cfg,
+                                            self._camera)
+
+    def optimize_chunk(self, chunk: TestChunk) -> ChunkResult:
+        return self._jitted(
+            self.local_variables, self.global_variables,
+            jnp.asarray(chunk.estimated_local),
+            jnp.asarray(chunk.camera_poses),
+            jnp.asarray(chunk.heatmaps),
+            jnp.asarray(chunk.gt_global))
+
+    def run(self, chunk: TestChunk, with_metrics: bool = True):
+        """Optimize one chunk and (optionally) evaluate.
+
+        Returns (errors dict | None, estimated, mid_local, optimized, gt) —
+        the tuple contract of the reference's `optimizer.main`
+        (optimizer.py:507)."""
+        res = self.optimize_chunk(chunk)
+        errors = None
+        if with_metrics:
+            errors = {k: np.asarray(v) for k, v in calculate_errors(
+                res.estimated, res.mid, res.optimized, res.gt).items()}
+        return (errors, np.asarray(res.estimated), np.asarray(res.mid_local),
+                np.asarray(res.optimized), np.asarray(res.gt))
+
+
+def load_priors_from_torch(cfg: OptimizeConfig, local_ckpt: str,
+                           global_ckpt: str):
+    """Build a SequenceOptimizer from reference-format .pth.tar checkpoints
+    (the released weights; reference: optimizer.py:334, 344)."""
+    from globalegomocap_tpu.models.torch_convert import load_torch_checkpoint
+    model = build_model(cfg)
+    lv = load_torch_checkpoint(local_ckpt, cfg.prior.seq_len,
+                               tuple(cfg.prior.hidden_dims))
+    gv = load_torch_checkpoint(global_ckpt, cfg.prior.seq_len,
+                               tuple(cfg.prior.hidden_dims))
+    to_jnp = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
+    return SequenceOptimizer(model, to_jnp(lv), to_jnp(gv), cfg)
+
+
+def optimize_sequence_dir(opt: SequenceOptimizer, data_dir: str,
+                          verbose: bool = True):
+    """Iterate all chunk dirs of a sequence, optimize each, aggregate the
+    metric averages (reference: optimize_whole_sequence.py:48-117).
+
+    Returns (per_chunk_errors list, averages dict, timing dict)."""
+    all_errors = []
+    timings = []
+    for chunk_dir in list_chunk_dirs(data_dir):
+        chunk = load_test_chunk(chunk_dir)
+        t0 = time.perf_counter()
+        errors, *_ = opt.run(chunk)
+        dt = time.perf_counter() - t0
+        timings.append(dt)
+        all_errors.append(errors)
+        if verbose:
+            print(f"running data: {chunk_dir}")
+            if errors["bone_length_aligned_optimized_mpjpe"] > \
+                    errors["bone_length_aligned_mid_optimized_mpjpe"]:
+                # regression tripwire of the reference
+                # (optimize_whole_sequence.py:87-88)
+                print(errors)
+
+    averages = {}
+    if all_errors:
+        for k in all_errors[0]:
+            averages[k] = np.mean([e[k] for e in all_errors], axis=0)
+    timing = {"total_s": float(np.sum(timings)),
+              "per_chunk_s": float(np.mean(timings)) if timings else 0.0}
+    if verbose and averages:
+        print_summary(averages)
+        print(f"total optimization time: {timing['total_s']:.2f}s")
+    return all_errors, averages, timing
+
+
+def print_summary(avg: dict):
+    """The reference driver's summary block
+    (optimize_whole_sequence.py:90-117), same quantities."""
+    sep = "-----------------------------------------"
+    print(f"Average original global pose mpjpe: {avg['original_global_mpjpe']}")
+    print(f"Average mid global pose mpjpe: {avg['mid_global_mpjpe']}")
+    print(f"Average optimized global pose mpjpe: {avg['optimized_global_mpjpe']}")
+    print(sep)
+    print(f"Average original cam pose error: {avg['original_camera_pos_error']}")
+    print(f"Average optimized cam pose error: {avg['optimized_camera_pos_error']}")
+    print(sep)
+    print(f"Average original aligned cam pose error: {avg['original_aligned_camera_pos_error']}")
+    print(f"Average optimized aligned cam pose error: {avg['optimized_aligned_camera_pos_error']}")
+    print(sep)
+    print(f"Average original_aligned_global_mpjpe: {avg['original_aligned_global_mpjpe']}")
+    print(f"Average aligned_mid_seq_mpjpe: {avg['aligned_mid_seq_mpjpe']}")
+    print(f"Average optimized_aligned_global_mpjpe: {avg['optimized_aligned_global_mpjpe']}")
+    print(sep)
+    print(f"Average aligned original global pose mpjpe: {avg['aligned_original_mpjpe']}")
+    print(f"Average aligned mid local pose mpjpe: {avg['aligned_mid_optimized_mpjpe']}")
+    print(f"Average aligned optimized global pose mpjpe: {avg['aligned_optimized_mpjpe']}")
+    print(sep)
+    print(f"Average bone length aligned original global pose mpjpe: {avg['bone_length_aligned_original_mpjpe']}")
+    print(f"Average bone length aligned mid local pose mpjpe: {avg['bone_length_aligned_mid_optimized_mpjpe']}")
+    print(f"Average bone length aligned optimized global pose mpjpe: {avg['bone_length_aligned_optimized_mpjpe']}")
+    print(sep)
+    print(f"joints error is: {avg['joints_error']}")

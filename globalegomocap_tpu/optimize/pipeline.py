@@ -1,0 +1,181 @@
+"""The two-stage latent optimization pipeline, vmapped over windows.
+
+Reference control flow (optimizer.py:311-507): for each 10-frame window of
+a sequence — serially — (1) optimize the LOCAL pose in VAE latent space
+with the heatmap reprojection term, (2) lift the result to the
+relative-global frame via the SLAM camera matrices, (3) optimize the GLOBAL
+pose in the second VAE's latent space (no reprojection), then merge
+overlapping windows and Gaussian-smooth.
+
+TPU-first re-design: all windows are materialized as one (W, T, ...) batch;
+both stages run as ONE `vmap`-ed batched L-BFGS launch each (JAX's
+while-loop batching keeps converged windows frozen).  The encoder init, the
+coordinate lifts and the merge are single batched ops.  The window axis is
+the sharding axis for multi-chip execution (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from globalegomocap_tpu.config import OptimizeConfig
+from globalegomocap_tpu.energy.terms import (
+    EnergyWeights, total_energy_from_pose)
+from globalegomocap_tpu.models.conv_vae import ConvVAE
+from globalegomocap_tpu.ops import fisheye
+from globalegomocap_tpu.ops.filtering import gaussian_filter1d
+from globalegomocap_tpu.ops.skeleton import mean_bone_lengths
+from globalegomocap_tpu.ops.transforms import (
+    relative_global_pose, relative_to_global_pose)
+from globalegomocap_tpu.optimize.lbfgs import lbfgs_minimize, adam_minimize
+from globalegomocap_tpu.optimize.window import slice_windows, merge_windows
+
+
+class ChunkResult(NamedTuple):
+    """Merged per-chunk sequences (covered frames only, like the reference's
+    merge): all in world frame except mid_local."""
+    estimated: jnp.ndarray   # (N, 15, 3) raw input lifted to world
+    mid: jnp.ndarray         # (N, 15, 3) after stage 1 (local), world frame
+    mid_local: jnp.ndarray   # (N, 15, 3) after stage 1, camera frame
+    optimized: jnp.ndarray   # (N, 15, 3) after stage 2, world frame
+    gt: jnp.ndarray          # (N, 15, 3)
+
+
+def stage_weights(cfg: OptimizeConfig):
+    """Derive the two stages' energy weights from CLI-level weights
+    (reference: optimizer.py:352-358)."""
+    e = cfg.energy
+    global_w = EnergyWeights.create(
+        weight_3d=e.weight_3d, smooth=e.smooth, bone_length=0.01,
+        vae=e.vae, reproj=0.0, gmm=e.gmm)
+    local_w = EnergyWeights.create(
+        weight_3d=e.weight_3d / 1e4, smooth=e.smooth / 100.0,
+        bone_length=e.bone_length, vae=e.vae, reproj=e.reproj, gmm=e.gmm)
+    return local_w, global_w
+
+
+def _solve(cfg: OptimizeConfig, loss, z0):
+    s = cfg.solver
+    if s.method == "adam":
+        return adam_minimize(loss, z0, steps=s.adam_steps, lr=s.adam_lr).x
+    return lbfgs_minimize(
+        loss, z0, max_iter=s.max_iter, history_size=s.history_size,
+        lr=s.lr, tolerance_change=s.tolerance_change,
+        tolerance_grad=s.tolerance_grad, max_ls_evals=s.max_ls_evals).x
+
+
+def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
+                   mean_bl, camera, weights: EnergyWeights,
+                   use_reproj: bool, cfg: OptimizeConfig) -> jnp.ndarray:
+    """One optimization stage over a batch of windows.
+
+    init_pose: (W, T, 15, 3) the stage's anchor/init poses.
+    heatmaps:  (W, T, 15, H, W) per-joint score maps (ignored when
+               use_reproj is False).
+    mean_bl:   (W, 15) per-window mean bone lengths.
+    Returns the decoded optimized poses (W, T, 15, 3).
+    """
+    w, t = init_pose.shape[0], init_pose.shape[1]
+    flat = init_pose.reshape(w, t, 45)
+
+    # deterministic latent init: encoder mean (one batched call for all
+    # windows; the reference encodes per-window and samples stochastically,
+    # optimizer.py:257 — mu-init removes that nondeterminism, SURVEY §7)
+    mu, _ = model.apply(variables, flat, False, method=ConvVAE.encode)
+
+    def solve_one(z0, anchor, heat, bl):
+        def loss(z):
+            pose = model.apply(variables, z[None], False,
+                               method=ConvVAE.decode_to_bodypose)[0]
+            return total_energy_from_pose(
+                pose, anchor, bl, heat, camera, weights, use_reproj)
+        return _solve(cfg, loss, z0)
+
+    z_star = jax.vmap(solve_one)(mu, init_pose, heatmaps, mean_bl)
+    out = model.apply(variables, z_star, False,
+                      method=ConvVAE.decode_to_bodypose)
+    return out
+
+
+def optimize_chunk(model: ConvVAE, local_variables, global_variables,
+                   estimated_local, camera_seq, heatmap_seq, gt_seq,
+                   camera: fisheye.FisheyeParams,
+                   cfg: OptimizeConfig) -> ChunkResult:
+    """Run the full two-stage pipeline over one sequence chunk.
+
+    estimated_local: (N, 15, 3) per-frame camera-space pose estimates.
+    camera_seq:      (N, 4, 4) cam->world matrices (SLAM).
+    heatmap_seq:     (N, H, W, 15) raw per-frame heatmaps (storage layout of
+                     test_data.pkl, reference: process_test_data.py:149-155).
+    gt_seq:          (N, 15, 3) ground truth world-frame poses.
+    """
+    seq_len, stride = cfg.window.seq_len, cfg.window.stride
+    local_w, global_w = stage_weights(cfg)
+
+    # window everything: (W, T, ...)
+    win_local = slice_windows(estimated_local, seq_len, stride)
+    win_cam = slice_windows(camera_seq, seq_len, stride)
+    win_gt = slice_windows(gt_seq, seq_len, stride)
+    win_heat = slice_windows(heatmap_seq, seq_len, stride)
+    win_heat = jnp.moveaxis(win_heat, -1, 2)  # (W, T, 15, H, Wd)
+
+    n_win = win_local.shape[0]
+    # per-window mean bone length — the chunk-wide mean of the raw estimate
+    # (reference: optimizer.py:42-43 computes it over the whole chunk)
+    chunk_bl = mean_bone_lengths(estimated_local)          # (15,)
+    win_bl = jnp.broadcast_to(chunk_bl, (n_win, 15))
+
+    # ---- stage 1: local pose, heatmap term on --------------------------
+    use_reproj = cfg.energy.reproj != 0.0
+    mid_local_win = optimize_stage(
+        model, local_variables, win_local, win_heat, win_bl, camera,
+        local_w, use_reproj, cfg)
+
+    # ---- lift to relative-global and world frames ----------------------
+    est_rel = relative_global_pose(win_local, win_cam)
+    mid_rel = relative_global_pose(mid_local_win, win_cam)
+    cam0 = win_cam[:, 0]
+    est_world = relative_to_global_pose(est_rel, cam0)
+    mid_world = relative_to_global_pose(mid_rel, cam0)
+
+    # ---- stage 2: relative-global pose, reprojection off ---------------
+    opt_rel = optimize_stage(
+        model, global_variables, mid_rel, win_heat, win_bl, camera,
+        global_w, False, cfg)
+    opt_world = relative_to_global_pose(opt_rel, cam0)
+
+    # ---- merge overlapping windows -------------------------------------
+    merged = ChunkResult(
+        estimated=merge_windows(est_world, stride),
+        mid=merge_windows(mid_world, stride),
+        mid_local=merge_windows(mid_local_win, stride),
+        optimized=merge_windows(opt_world, stride),
+        gt=merge_windows(win_gt, stride),
+    )
+
+    if cfg.final_smooth:
+        merged = merged._replace(optimized=gaussian_filter1d(
+            merged.optimized, cfg.final_smooth_sigma, axis=0))
+    return merged
+
+
+def make_chunk_optimizer(model: ConvVAE, cfg: OptimizeConfig,
+                         camera: fisheye.FisheyeParams):
+    """Build a jitted chunk optimizer with static config/camera/model.
+
+    Returns fn(local_variables, global_variables, estimated_local,
+    camera_seq, heatmap_seq, gt_seq) -> ChunkResult.  The compiled program
+    is shape-specialized per chunk length (chunks are typically a uniform
+    100 frames, so one compilation serves a whole dataset).
+    """
+    def run(local_variables, global_variables, estimated_local, camera_seq,
+            heatmap_seq, gt_seq):
+        return optimize_chunk(model, local_variables, global_variables,
+                              estimated_local, camera_seq, heatmap_seq,
+                              gt_seq, camera, cfg)
+
+    return jax.jit(run)

@@ -1,0 +1,235 @@
+"""Motion-VAE training: jit-compiled, data-parallel over a 1-D device mesh.
+
+Reference training loop (networks/train.py:35-134): Adam(lr 1e-4, wd 0),
+batch 64, 20 epochs, ELBO with M_N = kl_weight * batch / len(dataset),
+per-epoch eval = reconstruction MPJPE, checkpoint every epoch.  The local
+trainer (train_local.py) is the same loop over local-pose windows — here
+that's just `TrainConfig.local_pose=True`.
+
+TPU re-design: the train step jit-compiles once with the batch axis sharded
+over the mesh ('dp'); XLA inserts the gradient all-reduce over ICI.
+BatchNorm batch statistics are computed per shard and averaged into the
+running stats (sync-BN-free, matching the reference's per-device BN
+semantics on a single device; with data parallelism the running stats see
+every shard through the merged updates).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from globalegomocap_tpu.config import TrainConfig
+from globalegomocap_tpu.data.amass import AmassWindows
+from globalegomocap_tpu.models.conv_vae import ConvVAE, vae_loss
+from globalegomocap_tpu.parallel.mesh import (
+    make_mesh, replicate, shard_batch)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: TrainConfig):
+    if cfg.weight_decay:
+        return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    return optax.adam(cfg.learning_rate)
+
+
+def make_train_step(model: ConvVAE, tx, kld_weight: float):
+    """Jittable train step: (state, batch (B, T, 45), rng) ->
+    (state, metrics)."""
+
+    def step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, True, rng, mutable=["batch_stats"])
+            loss, recon, kld = vae_loss(out.reconstruction, batch, out.mu,
+                                        out.log_var, kld_weight)
+            return loss, (recon, kld, updates["batch_stats"])
+
+        (loss, (recon, kld, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=new_stats,
+                                  opt_state=opt_state)
+        metrics = {"loss": loss, "recon_loss": recon, "kld_loss": kld}
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(model: ConvVAE):
+    """Eval = deterministic (z = mu) reconstruction MPJPE
+    (reference: networks/train.py:110-129)."""
+
+    def step(state: TrainState, batch: jnp.ndarray):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, False)
+        pred = out.reconstruction.reshape(batch.shape[0], -1, 15, 3)
+        gt = batch.reshape(batch.shape[0], -1, 15, 3)
+        return jnp.mean(jnp.linalg.norm(pred - gt, axis=-1))
+
+    return step
+
+
+class Trainer:
+    """End-to-end trainer over materialized AMASS windows."""
+
+    def __init__(self, cfg: TrainConfig, train_ds: AmassWindows,
+                 test_ds: AmassWindows, model: ConvVAE | None = None):
+        self.cfg = cfg
+        self.train_ds = train_ds
+        self.test_ds = test_ds
+        self.model = model or ConvVAE(latent_dim=cfg.latent_dim,
+                                      seq_len=cfg.seq_length)
+        self.tx = make_optimizer(cfg)
+
+        self.mesh = make_mesh(cfg.num_devices or None)
+        self._repl = replicate(self.mesh)
+        self._batch_sh = shard_batch(self.mesh)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        x0 = jnp.zeros((2, cfg.seq_length, 45))
+        variables = self.model.init(rng, x0, False)
+        state = TrainState(
+            step=jnp.asarray(0),
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.tx.init(variables["params"]))
+        self.state = jax.device_put(state, self._repl)
+
+        # M_N of the reference: kl_weight * batch / dataset_len
+        kld_weight = cfg.kl_weight * cfg.batch_size / max(1, len(train_ds))
+        self._train_step = jax.jit(
+            make_train_step(self.model, self.tx, kld_weight),
+            in_shardings=(self._repl, self._batch_sh, None),
+            out_shardings=(self._repl, self._repl),
+            donate_argnums=(0,))
+        self._eval_step = jax.jit(
+            make_eval_step(self.model),
+            in_shardings=(self._repl, self._batch_sh))
+
+        self.history: list[dict] = []
+
+    @property
+    def variables(self):
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats}
+
+    def _device_batch(self, batch: np.ndarray) -> jnp.ndarray:
+        return jax.device_put(jnp.asarray(batch), self._batch_sh)
+
+    def train(self, log_fn=print, checkpoint_dir: str | None = None):
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        np_rng = np.random.default_rng(cfg.seed + 2)
+        count = 0
+        running = {"loss": 0.0, "recon_loss": 0.0}
+        for epoch in range(cfg.epochs):
+            t0 = time.perf_counter()
+            for batch in self.train_ds.epoch_batches(np_rng,
+                                                     cfg.batch_size):
+                self.state, metrics = self._train_step(
+                    self.state, self._device_batch(batch), rng)
+                running["loss"] += float(metrics["loss"])
+                running["recon_loss"] += float(metrics["recon_loss"])
+                count += 1
+                if cfg.log_step and count % cfg.log_step == 0:
+                    log_fn(f"step {count}: running loss "
+                           f"{running['loss']:.5f} recon "
+                           f"{running['recon_loss']:.5f}")
+                    self.history.append({"step": count, **running})
+                    running = {"loss": 0.0, "recon_loss": 0.0}
+            eval_mpjpe = self.evaluate()
+            dt = time.perf_counter() - t0
+            log_fn(f"epoch {epoch}: eval reconstruction MPJPE "
+                   f"{eval_mpjpe:.5f}  ({dt:.1f}s)")
+            self.history.append({"epoch": epoch, "eval_mpjpe": eval_mpjpe})
+            if checkpoint_dir:
+                self.save_checkpoint(checkpoint_dir, epoch, eval_mpjpe)
+        return self.state
+
+    def evaluate(self) -> float:
+        vals = []
+        np_rng = np.random.default_rng(0)
+        for batch in self.test_ds.epoch_batches(np_rng, self.cfg.batch_size,
+                                                drop_last=False,
+                                                shuffle=False):
+            # pad so the sharded axis divides the device count
+            n = batch.shape[0]
+            d = self.mesh.size
+            if n % d:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], (-n) % d, axis=0)])
+            v = float(self._eval_step(self.state,
+                                      self._device_batch(batch)))
+            vals.append((v, n))
+        if not vals:
+            return float("nan")
+        tot = sum(n for _, n in vals)
+        return float(sum(v * n for v, n in vals) / tot)
+
+    def save_checkpoint(self, directory: str, epoch: int,
+                        eval_result: float):
+        """Epoch checkpoint with the reference's payload shape
+        ({'epoch','args','state_dict'-equivalent,'eval_result','optimizer'},
+        networks/train.py:102-108) serialized via flax msgpack."""
+        from flax import serialization
+        os.makedirs(directory, exist_ok=True)
+        state_host = jax.device_get(self.state)
+        blob = serialization.to_bytes({
+            "params": state_host.params,
+            "batch_stats": state_host.batch_stats,
+            "opt_state": state_host.opt_state,
+            "step": state_host.step,
+        })
+        path = os.path.join(directory, f"{epoch}.msgpack")
+        with open(path, "wb") as f:
+            f.write(blob)
+        meta = {"epoch": epoch + 1, "eval_result": eval_result,
+                "args": {k: getattr(self.cfg, k)
+                         for k in self.cfg.__dataclass_fields__
+                         if isinstance(getattr(self.cfg, k),
+                                       (int, float, str, bool))}}
+        with open(os.path.join(directory, f"{epoch}.json"), "w") as f:
+            json.dump(meta, f)
+        return path
+
+    def load_checkpoint(self, path: str):
+        """Resume training state from an epoch checkpoint — the
+        resume path the reference lacks (SURVEY.md §5 checkpoint/resume)."""
+        from flax import serialization
+        with open(path, "rb") as f:
+            blob = f.read()
+        state_host = jax.device_get(self.state)
+        target = {"params": state_host.params,
+                  "batch_stats": state_host.batch_stats,
+                  "opt_state": state_host.opt_state,
+                  "step": state_host.step}
+        restored = serialization.from_bytes(target, blob)
+        self.state = jax.device_put(
+            TrainState(step=jnp.asarray(restored["step"]),
+                       params=restored["params"],
+                       batch_stats=restored["batch_stats"],
+                       opt_state=restored["opt_state"]),
+            self._repl)
+        return self.state

@@ -1,0 +1,155 @@
+"""End-to-end pipeline tests on synthetic chunks.
+
+With an untrained prior the pipeline must still run, converge the energies
+and keep all shape/layout contracts; the full quality e2e (trained prior
+improves MPJPE) lives in test_e2e_quality.py.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from globalegomocap_tpu.config import (
+    OptimizeConfig, SolverConfig, PriorConfig, with_overrides)
+from globalegomocap_tpu.data.synthetic import synthetic_chunk
+from globalegomocap_tpu.data.test_data import (
+    save_test_chunk, load_test_chunk)
+from globalegomocap_tpu.models.conv_vae import ConvVAE
+from globalegomocap_tpu.optimize.driver import (
+    SequenceOptimizer, build_model, resolve_camera)
+from globalegomocap_tpu.optimize.pipeline import stage_weights
+from globalegomocap_tpu.energy.terms import total_energy_from_pose
+
+
+SMALL_PRIOR = PriorConfig(latent_dim=64, seq_len=10,
+                          hidden_dims=(16, 16, 32, 32, 64))
+
+
+def small_cfg(**kw):
+    cfg = OptimizeConfig(
+        prior=SMALL_PRIOR,
+        solver=SolverConfig(max_iter=10, history_size=10, max_ls_evals=10))
+    return with_overrides(cfg, **kw) if kw else cfg
+
+
+@pytest.fixture(scope="module")
+def chunk():
+    return synthetic_chunk(n_frames=40, seed=0)
+
+
+@pytest.fixture(scope="module")
+def optimizer(chunk):
+    cfg = small_cfg()
+    model = build_model(cfg)
+    x = jnp.zeros((1, cfg.prior.seq_len, 45))
+    v1 = model.init(jax.random.PRNGKey(0), x, False)
+    v2 = model.init(jax.random.PRNGKey(1), x, False)
+    return SequenceOptimizer(model, v1, v2, cfg)
+
+
+class TestChunkIO:
+    def test_pkl_roundtrip(self, chunk, tmp_path):
+        save_test_chunk(chunk, str(tmp_path / "c0"))
+        loaded = load_test_chunk(str(tmp_path / "c0"))
+        np.testing.assert_array_equal(loaded.estimated_local,
+                                      chunk.estimated_local)
+        np.testing.assert_array_equal(loaded.heatmaps, chunk.heatmaps)
+
+    def test_synthetic_consistency(self, chunk):
+        """GT global == cam ∘ true local; estimated differs by the noise."""
+        from globalegomocap_tpu.ops.transforms import transform_pose
+        est_g = transform_pose(jnp.asarray(chunk.estimated_local),
+                               jnp.asarray(chunk.camera_poses))
+        np.testing.assert_allclose(np.asarray(est_g),
+                                   chunk.estimated_global, atol=1e-4)
+        err = np.linalg.norm(chunk.estimated_global - chunk.gt_global,
+                             axis=-1).mean()
+        assert 0.01 < err < 0.15  # the injected noise level
+
+    def test_heatmaps_peak_at_projection(self, chunk):
+        """The rendered heatmap argmax should match the true projected
+        joints to within a pixel."""
+        from globalegomocap_tpu.ops import fisheye
+        cam = fisheye.default_camera("egosyn")
+        # recover true local pose = gt pushed back to camera frame
+        from globalegomocap_tpu.ops.transforms import (
+            invert_se3, transform_pose)
+        local_true = transform_pose(
+            jnp.asarray(chunk.gt_global),
+            invert_se3(jnp.asarray(chunk.camera_poses)))
+        p2d = np.asarray(fisheye.world2camera(
+            cam, local_true.reshape(-1, 3))).reshape(-1, 15, 2)
+        hx = (p2d[..., 0] - 128) / 16
+        hy = p2d[..., 1] / 16
+        hm = chunk.heatmaps.transpose(0, 3, 1, 2)  # (N, J, H, W)
+        flat = hm.reshape(hm.shape[0], 15, -1)
+        idx = flat.argmax(-1)
+        px = idx % 64
+        py = idx // 64
+        assert np.abs(px - np.round(hx)).mean() < 1.0
+        assert np.abs(py - np.round(hy)).mean() < 1.0
+
+
+class TestPipelineRuns:
+    def test_shapes_and_finiteness(self, optimizer, chunk):
+        errors, est, mid_local, opt, gt = optimizer.run(chunk)
+        n_cov = 34  # covered_frames(40, 10, 8)
+        for arr in (est, mid_local, opt, gt):
+            assert arr.shape == (n_cov, 15, 3)
+            assert np.all(np.isfinite(arr))
+        assert errors is not None
+        assert np.isfinite(errors["optimized_global_mpjpe"])
+
+    def test_stage_energy_decreases(self, optimizer, chunk):
+        """The solver must strictly decrease the stage-1 energy vs the
+        encoder-mean init for the batch of windows."""
+        from globalegomocap_tpu.optimize.window import slice_windows
+        from globalegomocap_tpu.ops.skeleton import mean_bone_lengths
+
+        cfg = optimizer.cfg
+        cam = resolve_camera(cfg)
+        local_w, _ = stage_weights(cfg)
+        model = optimizer.model
+        win = slice_windows(jnp.asarray(chunk.estimated_local), 10, 8)
+        heat = jnp.moveaxis(
+            slice_windows(jnp.asarray(chunk.heatmaps), 10, 8), -1, 2)
+        bl = jnp.broadcast_to(
+            mean_bone_lengths(jnp.asarray(chunk.estimated_local)),
+            (win.shape[0], 15))
+
+        mu, _ = model.apply(optimizer.local_variables,
+                            win.reshape(win.shape[0], 10, 45), False,
+                            method=ConvVAE.encode)
+
+        def energy(z, anchor, h, b):
+            pose = model.apply(optimizer.local_variables, z[None], False,
+                               method=ConvVAE.decode_to_bodypose)[0]
+            return total_energy_from_pose(pose, anchor, b, h, cam,
+                                          local_w, True)
+
+        from globalegomocap_tpu.optimize.pipeline import optimize_stage
+        e0 = jax.vmap(energy)(mu, win, heat, bl)
+        out = optimize_stage(model, optimizer.local_variables, win, heat,
+                             bl, cam, local_w, True, cfg)
+        # re-encode the optimized pose? No — evaluate the energy of the
+        # decoded result directly against the same anchors.
+        def pose_energy(pose, anchor, h, b):
+            return total_energy_from_pose(pose, anchor, b, h, cam,
+                                          local_w, True)
+        e1 = jax.vmap(pose_energy)(out, win, heat, bl)
+        assert float(jnp.mean(e1)) < float(jnp.mean(e0))
+
+    def test_deterministic(self, optimizer, chunk):
+        _, _, _, opt1, _ = optimizer.run(chunk, with_metrics=False)
+        _, _, _, opt2, _ = optimizer.run(chunk, with_metrics=False)
+        np.testing.assert_array_equal(opt1, opt2)
+
+    def test_adam_method_runs(self, chunk):
+        cfg = small_cfg(solver=SolverConfig(method="adam", adam_steps=30))
+        model = build_model(cfg)
+        x = jnp.zeros((1, 10, 45))
+        v = model.init(jax.random.PRNGKey(0), x, False)
+        opt = SequenceOptimizer(model, v, v, cfg)
+        errors, *_ = opt.run(chunk)
+        assert np.isfinite(errors["optimized_global_mpjpe"])
