@@ -1,0 +1,92 @@
+"""Benchmark: windows/sec of the two-stage latent optimization (the
+reference's headline workload, optimize_whole_sequence.py) on synthetic
+chunks with the full-size prior (latent 2048, seq 10).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "windows/s", "vs_baseline": N}
+
+vs_baseline compares against the reference-equivalent serial torch
+two-stage L-BFGS measured on this machine's CPU
+(scripts/measure_torch_baseline.py writes baseline_torch.json; a recorded
+fallback value is used if absent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+SEED = 0
+N_CHUNKS = 5
+FRAMES_PER_CHUNK = 100
+SOLVER = os.environ.get("BENCH_SOLVER", "lbfgs")
+SAMPLING = os.environ.get("BENCH_SAMPLING", "dense")
+
+# torch-CPU reference-equivalent baseline (sec/window, two stages), as
+# measured by scripts/measure_torch_baseline.py on this machine; see
+# BASELINE.md.  Used when baseline_torch.json is absent.
+FALLBACK_BASELINE_WINDOWS_PER_SEC = 0.5
+
+
+def load_baseline() -> float:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "baseline_torch.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return float(json.load(f)["windows_per_sec"])
+    return FALLBACK_BASELINE_WINDOWS_PER_SEC
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, PriorConfig, SolverConfig)
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model)
+    from globalegomocap_tpu.optimize.window import num_windows
+
+    cfg = OptimizeConfig(
+        prior=PriorConfig(latent_dim=2048, seq_len=10),
+        solver=SolverConfig(method=SOLVER),
+        sampling_impl=SAMPLING,
+    )
+    model = build_model(cfg)
+    x0 = jnp.zeros((1, 10, 45))
+    local_vars = model.init(jax.random.PRNGKey(0), x0, False)
+    global_vars = model.init(jax.random.PRNGKey(1), x0, False)
+    opt = SequenceOptimizer(model, local_vars, global_vars, cfg)
+
+    chunks = [synthetic_chunk(FRAMES_PER_CHUNK, seed=SEED + i)
+              for i in range(N_CHUNKS)]
+    wins = num_windows(FRAMES_PER_CHUNK) * N_CHUNKS
+
+    # compile warmup: all chunks in ONE batched launch
+    res = opt.optimize_chunks_batched(chunks)
+    jax.block_until_ready(res.optimized)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = opt.optimize_chunks_batched(chunks)
+        jax.block_until_ready(out.optimized)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    wps = wins / best
+    baseline = load_baseline()
+    print(json.dumps({
+        "metric": "two_stage_latent_optimization_throughput",
+        "value": round(wps, 3),
+        "unit": "windows/s",
+        "vs_baseline": round(wps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

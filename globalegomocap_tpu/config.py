@@ -74,6 +74,7 @@ class OptimizeConfig:
     prior: PriorConfig = field(default_factory=PriorConfig)
     heatmap: HeatmapGeometry = field(default_factory=HeatmapGeometry)
     camera: str = "egosyn"          # built-in name or a calibration path
+    sampling_impl: str = "gather"   # heatmap sampling: 'gather' | 'dense'
     final_smooth: bool = True
     final_smooth_sigma: float = 1.0
     input_smooth_sigma: float = 1.0

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from globalegomocap_tpu.ops.skeleton import bone_lengths
-from globalegomocap_tpu.ops.sampling import grid_sample_bilinear
+from globalegomocap_tpu.ops.sampling import (
+    grid_sample_bilinear, grid_sample_bilinear_dense)
 from globalegomocap_tpu.ops import fisheye
 
 
@@ -110,19 +111,23 @@ def project_to_heatmap_grid(pose: jnp.ndarray,
 
 
 def heatmap_energy(pose: jnp.ndarray, heatmaps: jnp.ndarray,
-                   camera: fisheye.FisheyeParams) -> jnp.ndarray:
+                   camera: fisheye.FisheyeParams,
+                   impl: str = "gather") -> jnp.ndarray:
     """Negative sum of heatmap likelihood sampled at the projected joints
     (reference: optimizer.py:139-149 `reprojection_energy_heatmap_fast`).
 
     pose:     (T, 15, 3) decoded window (camera frame).
     heatmaps: (T, 15, H, W) per-joint score maps (already permuted from the
               stored (T, H, W, 15) layout by the pipeline).
+    impl:     'gather' (4-tap gathers) or 'dense' (MXU one-hot contraction;
+              preferred on TPU).
     """
     t, j = heatmaps.shape[0], heatmaps.shape[1]
     grid = project_to_heatmap_grid(pose.reshape(t * j, 3), camera)
     maps = heatmaps.reshape(t * j, heatmaps.shape[-2], heatmaps.shape[-1])
-    sampled = grid_sample_bilinear(maps, grid)
-    return -jnp.sum(sampled)
+    sample = (grid_sample_bilinear_dense if impl == "dense"
+              else grid_sample_bilinear)
+    return -jnp.sum(sample(maps, grid))
 
 
 def total_energy_from_pose(pose: jnp.ndarray,
@@ -132,7 +137,8 @@ def total_energy_from_pose(pose: jnp.ndarray,
                            camera: fisheye.FisheyeParams,
                            weights: EnergyWeights,
                            use_reproj: bool,
-                           gmm_score_fn=None) -> jnp.ndarray:
+                           gmm_score_fn=None,
+                           sampling_impl: str = "gather") -> jnp.ndarray:
     """The total loss of a stage given an already-decoded pose window
     (reference: optimizer.py:226-240).
 
@@ -146,7 +152,8 @@ def total_energy_from_pose(pose: jnp.ndarray,
          + weights.bone_length * bone_length_energy(pose, mean_bone_length)
          + weights.vae * vae_energy(pose))
     if use_reproj:
-        e = e + weights.reproj * heatmap_energy(pose, heatmaps, camera)
+        e = e + weights.reproj * heatmap_energy(pose, heatmaps, camera,
+                                                sampling_impl)
     if gmm_score_fn is not None:
         # optional GMM pose prior: negative log-likelihood of the window
         # (the reference plumbs --gmm but never adds the term to total_loss,

@@ -49,3 +49,30 @@ def grid_sample_bilinear(images: jnp.ndarray, grid_xy: jnp.ndarray
 
     return (tap(y0, x0, wy0 * wx0) + tap(y0, x1, wy0 * wx1)
             + tap(y1, x0, wy1 * wx0) + tap(y1, x1, wy1 * wx1))
+
+
+def grid_sample_bilinear_dense(images: jnp.ndarray, grid_xy: jnp.ndarray
+                               ) -> jnp.ndarray:
+    """Gather-free bilinear sampling for TPU: the two bilinear taps per
+    axis are expressed as dense triangle-kernel weight vectors and the
+    sample becomes a batched contraction that maps onto the MXU —
+    sample[p] = Σ_h Σ_w  tri(iy_p - h) · im[p, h, w] · tri(ix_p - w).
+
+    The triangle weights max(0, 1 - |i - c|) reproduce torch's
+    align_corners=True + zero-padding semantics exactly (out-of-bounds taps
+    get zero weight), and the formulation differentiates cleanly.
+
+    Same contract as `grid_sample_bilinear`; preferred on TPU where
+    per-point gathers serialize on the VPU while this runs as matmuls.
+    """
+    h, w = images.shape[-2], images.shape[-1]
+    ix = (grid_xy[..., 0] + 1.0) * 0.5 * (w - 1)
+    iy = (grid_xy[..., 1] + 1.0) * 0.5 * (h - 1)
+
+    cols = jnp.arange(w, dtype=images.dtype)
+    rows = jnp.arange(h, dtype=images.dtype)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(ix[..., None] - cols))  # (..., W)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[..., None] - rows))  # (..., H)
+
+    inner = jnp.einsum("...hw,...w->...h", images, wx)
+    return jnp.einsum("...h,...h->...", inner, wy)

@@ -60,6 +60,42 @@ class SequenceOptimizer:
             jnp.asarray(chunk.heatmaps),
             jnp.asarray(chunk.gt_global))
 
+    def optimize_chunks_batched(self, chunks: list[TestChunk]):
+        """Optimize a batch of equal-length chunks in ONE device launch,
+        sharding the chunk axis across all available devices.
+
+        Returns a ChunkResult whose arrays have a leading chunk axis."""
+        from globalegomocap_tpu.optimize.pipeline import (
+            optimize_chunks_batched)
+        from globalegomocap_tpu.parallel.mesh import (
+            make_mesh, replicate, shard_batch)
+
+        est = jnp.stack([jnp.asarray(c.estimated_local) for c in chunks])
+        cams = jnp.stack([jnp.asarray(c.camera_poses) for c in chunks])
+        heat = jnp.stack([jnp.asarray(c.heatmaps) for c in chunks])
+        gt = jnp.stack([jnp.asarray(c.gt_global) for c in chunks])
+
+        n_dev = len(jax.devices())
+        key = ("batched", est.shape, n_dev)
+        if not hasattr(self, "_jit_cache"):
+            self._jit_cache = {}
+        if key not in self._jit_cache:
+            def run(lv, gv, est, cams, heat, gt):
+                return optimize_chunks_batched(
+                    self.model, lv, gv, est, cams, heat, gt,
+                    self._camera, self.cfg)
+            if n_dev > 1 and len(chunks) % n_dev == 0:
+                mesh = make_mesh()
+                repl = replicate(mesh)
+                sh = shard_batch(mesh)
+                self._jit_cache[key] = jax.jit(
+                    run, in_shardings=(repl, repl, sh, sh, sh, sh))
+            else:
+                self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key](self.local_variables,
+                                    self.global_variables,
+                                    est, cams, heat, gt)
+
     def run(self, chunk: TestChunk, with_metrics: bool = True):
         """Optimize one chunk and (optionally) evaluate.
 

@@ -92,7 +92,8 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
             pose = model.apply(variables, z[None], False,
                                method=ConvVAE.decode_to_bodypose)[0]
             return total_energy_from_pose(
-                pose, anchor, bl, heat, camera, weights, use_reproj)
+                pose, anchor, bl, heat, camera, weights, use_reproj,
+                sampling_impl=cfg.sampling_impl)
         return _solve(cfg, loss, z0)
 
     z_star = jax.vmap(solve_one)(mu, init_pose, heatmaps, mean_bl)
@@ -161,6 +162,26 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
         merged = merged._replace(optimized=gaussian_filter1d(
             merged.optimized, cfg.final_smooth_sigma, axis=0))
     return merged
+
+
+def optimize_chunks_batched(model: ConvVAE, local_variables,
+                            global_variables, estimated_local, camera_seq,
+                            heatmap_seq, gt_seq,
+                            camera: fisheye.FisheyeParams,
+                            cfg: OptimizeConfig) -> ChunkResult:
+    """Optimize MANY equal-length chunks in one device launch.
+
+    All arrays carry a leading chunk axis (C, N, ...); the whole two-stage
+    pipeline (including per-chunk merge and final smoothing) is vmapped
+    over it.  On a multi-chip mesh the chunk axis is the sharding axis
+    (parallel.mesh.shard_batch) — the reference's entire 5-sequence
+    evaluation becomes one call.
+    """
+    def one(est, cams, heat, gt):
+        return optimize_chunk(model, local_variables, global_variables,
+                              est, cams, heat, gt, camera, cfg)
+
+    return jax.vmap(one)(estimated_local, camera_seq, heatmap_seq, gt_seq)
 
 
 def make_chunk_optimizer(model: ConvVAE, cfg: OptimizeConfig,

@@ -1,0 +1,77 @@
+"""Full-stack quality test: train local + global priors on synthetic AMASS
+motion, then run the two-stage optimization on a noisy synthetic chunk and
+verify it improves pose accuracy — the acceptance criterion of the whole
+framework (reference parity is defined by 'optimization reduces MPJPE',
+optimize_whole_sequence.py:87-88)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from globalegomocap_tpu.config import (
+    OptimizeConfig, SolverConfig, PriorConfig, TrainConfig, EnergyConfig)
+from globalegomocap_tpu.data.amass import AmassWindows
+from globalegomocap_tpu.data.synthetic import synthetic_amass, synthetic_chunk
+from globalegomocap_tpu.models.conv_vae import ConvVAE
+from globalegomocap_tpu.optimize.driver import SequenceOptimizer, build_model
+from globalegomocap_tpu.train.train_vae import Trainer
+
+
+PRIOR = PriorConfig(latent_dim=128, seq_len=10,
+                    hidden_dims=(32, 32, 64, 64, 128))
+
+
+def train_prior(local_pose: bool, seqs, epochs=12) -> dict:
+    cfg = TrainConfig(latent_dim=PRIOR.latent_dim, seq_length=10,
+                      epochs=epochs, batch_size=64, kl_weight=0.05,
+                      learning_rate=2e-3, log_step=0)
+    model = ConvVAE(latent_dim=PRIOR.latent_dim, seq_len=10,
+                    hidden_dims=PRIOR.hidden_dims)
+    train_ds = AmassWindows.from_sequences(seqs, frame_num=10,
+                                           local_pose=local_pose)
+    test_ds = AmassWindows(train_ds.windows[::10])
+    trainer = Trainer(cfg, train_ds, test_ds, model)
+    trainer.train(log_fn=lambda *_: None)
+    final = trainer.evaluate()
+    return trainer.variables, final
+
+
+@pytest.fixture(scope="module")
+def trained_priors():
+    seqs = synthetic_amass(n_sequences=8, frames_per_seq=200, seed=7)
+    local_vars, local_mpjpe = train_prior(True, seqs)
+    global_vars, global_mpjpe = train_prior(False, seqs)
+    return local_vars, global_vars, local_mpjpe, global_mpjpe
+
+
+class TestEndToEndQuality:
+    def test_priors_reconstruct(self, trained_priors):
+        """The briefly-trained priors must reconstruct held-out motion at
+        roughly the motion amplitude scale (full training drives this far
+        lower; the hard acceptance criterion is the improvement test)."""
+        _, _, local_mpjpe, global_mpjpe = trained_priors
+        assert local_mpjpe < 0.12, local_mpjpe
+        assert global_mpjpe < 0.15, global_mpjpe
+
+    def test_optimization_improves_pose(self, trained_priors):
+        local_vars, global_vars, *_ = trained_priors
+        cfg = OptimizeConfig(
+            prior=PRIOR,
+            solver=SolverConfig(max_iter=20, history_size=20,
+                                max_ls_evals=15),
+        )
+        model = build_model(cfg)
+        opt = SequenceOptimizer(model, local_vars, global_vars, cfg)
+
+        chunk = synthetic_chunk(n_frames=60, seed=11, noise_std=0.03)
+        errors, est, mid_local, optimized, gt = opt.run(chunk)
+
+        # the bone-length + per-frame-aligned MPJPE must improve, and the
+        # reference's regression tripwire must not fire
+        assert errors["aligned_optimized_mpjpe"] < \
+            errors["aligned_original_mpjpe"], errors
+        assert errors["optimized_global_mpjpe"] < \
+            errors["original_global_mpjpe"], errors
+        # sanity: starting error is the noise level
+        assert 0.01 < errors["original_global_mpjpe"] < 0.1
