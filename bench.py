@@ -20,10 +20,11 @@ import time
 import numpy as np
 
 SEED = 0
-N_CHUNKS = 5
+N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "5"))
 FRAMES_PER_CHUNK = 100
 SOLVER = os.environ.get("BENCH_SOLVER", "lbfgs")
 SAMPLING = os.environ.get("BENCH_SAMPLING", "dense")
+MODE = os.environ.get("BENCH_MODE", "serial")  # 'serial' | 'batched'
 
 # torch-CPU reference-equivalent baseline (sec/window, two stages), as
 # measured by scripts/measure_torch_baseline.py on this machine; see
@@ -66,15 +67,22 @@ def main():
               for i in range(N_CHUNKS)]
     wins = num_windows(FRAMES_PER_CHUNK) * N_CHUNKS
 
-    # compile warmup: all chunks in ONE batched launch
-    res = opt.optimize_chunks_batched(chunks)
-    jax.block_until_ready(res.optimized)
+    if MODE == "batched":
+        def run_all():
+            out = opt.optimize_chunks_batched(chunks)
+            jax.block_until_ready(out.optimized)
+    else:
+        def run_all():
+            outs = [opt.optimize_chunk(c) for c in chunks]
+            for o in outs:
+                jax.block_until_ready(o.optimized)
+
+    run_all()  # compile warmup
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = opt.optimize_chunks_batched(chunks)
-        jax.block_until_ready(out.optimized)
+        run_all()
         times.append(time.perf_counter() - t0)
 
     best = min(times)

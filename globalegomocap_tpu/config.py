@@ -24,7 +24,7 @@ class WindowConfig:
 @dataclass(frozen=True)
 class SolverConfig:
     """Latent solver settings (reference torch LBFGS: optimizer.py:261-262)."""
-    method: str = "lbfgs"          # 'lbfgs' | 'adam'
+    method: str = "lbfgs"          # 'lbfgs' | 'lbfgs_fixed' | 'adam'
     lr: float = 2.0
     max_iter: int = 25
     history_size: int = 25

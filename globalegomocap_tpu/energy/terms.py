@@ -125,8 +125,14 @@ def heatmap_energy(pose: jnp.ndarray, heatmaps: jnp.ndarray,
     t, j = heatmaps.shape[0], heatmaps.shape[1]
     grid = project_to_heatmap_grid(pose.reshape(t * j, 3), camera)
     maps = heatmaps.reshape(t * j, heatmaps.shape[-2], heatmaps.shape[-1])
-    sample = (grid_sample_bilinear_dense if impl == "dense"
-              else grid_sample_bilinear)
+    if impl == "pallas":
+        from globalegomocap_tpu.ops.pallas.heatmap_sample import (
+            heatmap_sample_pallas)
+        sample = heatmap_sample_pallas
+    elif impl == "dense":
+        sample = grid_sample_bilinear_dense
+    else:
+        sample = grid_sample_bilinear
     return -jnp.sum(sample(maps, grid))
 
 

@@ -31,7 +31,8 @@ from globalegomocap_tpu.ops.filtering import gaussian_filter1d
 from globalegomocap_tpu.ops.skeleton import mean_bone_lengths
 from globalegomocap_tpu.ops.transforms import (
     relative_global_pose, relative_to_global_pose)
-from globalegomocap_tpu.optimize.lbfgs import lbfgs_minimize, adam_minimize
+from globalegomocap_tpu.optimize.lbfgs import (
+    lbfgs_minimize, lbfgs_minimize_fixed, adam_minimize)
 from globalegomocap_tpu.optimize.window import slice_windows, merge_windows
 
 
@@ -62,6 +63,10 @@ def _solve(cfg: OptimizeConfig, loss, z0):
     s = cfg.solver
     if s.method == "adam":
         return adam_minimize(loss, z0, steps=s.adam_steps, lr=s.adam_lr).x
+    if s.method == "lbfgs_fixed":
+        return lbfgs_minimize_fixed(
+            loss, z0, max_iter=s.max_iter, history_size=s.history_size,
+            lr=s.lr).x
     return lbfgs_minimize(
         loss, z0, max_iter=s.max_iter, history_size=s.history_size,
         lr=s.lr, tolerance_change=s.tolerance_change,

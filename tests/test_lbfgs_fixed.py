@@ -1,0 +1,56 @@
+"""Fixed-iteration (scan-based) L-BFGS tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from globalegomocap_tpu.optimize.lbfgs import (
+    lbfgs_minimize, lbfgs_minimize_fixed)
+
+
+def test_solves_quadratic():
+    A = jnp.asarray(np.diag([1.0, 10.0, 100.0]).astype(np.float32))
+    b = jnp.asarray([1.0, -2.0, 3.0])
+
+    def loss(x):
+        return 0.5 * x @ A @ x - b @ x
+
+    res = lbfgs_minimize_fixed(loss, jnp.zeros(3), max_iter=50)
+    expected = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.x), expected, atol=1e-3)
+
+
+def test_close_to_adaptive_on_nonconvex():
+    rng = np.random.default_rng(2)
+    W = jnp.asarray(rng.normal(size=(10, 10)).astype(np.float32) * 0.4)
+    t = jnp.asarray(rng.normal(size=(10,)).astype(np.float32))
+
+    def loss(x):
+        return jnp.sum((W @ jnp.tanh(x) - t) ** 2) + 0.01 * jnp.sum(x ** 2)
+
+    x0 = jnp.zeros(10)
+    f_adaptive = float(lbfgs_minimize(loss, x0, max_iter=25).f)
+    f_fixed = float(lbfgs_minimize_fixed(loss, x0, max_iter=25).f)
+    assert f_fixed <= f_adaptive * 1.5 + 1e-3, (f_fixed, f_adaptive)
+
+
+def test_vmap_batch():
+    centers = jnp.asarray(np.random.default_rng(0).normal(
+        size=(12, 6)).astype(np.float32))
+
+    def solve(center, x0):
+        return lbfgs_minimize_fixed(
+            lambda x: jnp.sum((x - center) ** 2 * jnp.arange(1, 7)),
+            x0, max_iter=30).x
+
+    out = jax.vmap(solve)(centers, jnp.zeros((12, 6)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(centers),
+                               atol=1e-3)
+
+
+def test_deterministic_iteration_count():
+    def loss(x):
+        return jnp.sum((x - 1.0) ** 2)
+
+    res = lbfgs_minimize_fixed(loss, jnp.zeros(4), max_iter=7)
+    assert int(res.n_iter) == 7
