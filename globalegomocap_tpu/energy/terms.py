@@ -86,6 +86,25 @@ def vae_energy(pose: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.square(pose))
 
 
+def camera_matrix_energy(cam_mats: jnp.ndarray,
+                         initial_cam_mats: jnp.ndarray) -> jnp.ndarray:
+    """Squared deviation from the initial camera matrices
+    (reference: optimizer.py:151-157; part of the energy library for
+    camera-refinement experiments, not in the default pipeline)."""
+    return jnp.sum(jnp.square(cam_mats - initial_cam_mats))
+
+
+def camera_constraint_energy(cam_mats: jnp.ndarray) -> jnp.ndarray:
+    """SO(3)-validity penalty on the rotation blocks: (det R - 1)² plus
+    ||R Rᵀ - I||² (reference: optimizer.py:159-170)."""
+    rot = cam_mats[..., :3, :3]
+    det = jnp.linalg.det(rot)
+    e_det = jnp.sum(jnp.square(det - 1.0))
+    rrt = jnp.matmul(rot, jnp.swapaxes(rot, -1, -2))
+    e_orth = jnp.sum(jnp.square(rrt - jnp.eye(3, dtype=cam_mats.dtype)))
+    return e_det + e_orth
+
+
 def reprojection_energy(pose: jnp.ndarray, initial_pose_2d: jnp.ndarray,
                         camera: fisheye.FisheyeParams) -> jnp.ndarray:
     """Squared 2D distance between projected joints and the initial
