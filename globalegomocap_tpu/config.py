@@ -33,6 +33,9 @@ class SolverConfig:
     max_ls_evals: int = 25
     adam_steps: int = 150
     adam_lr: float = 0.05
+    # rematerialize the decoder in the backward pass (trades FLOPs for HBM,
+    # for very large window batches)
+    remat: bool = False
 
 
 @dataclass(frozen=True)

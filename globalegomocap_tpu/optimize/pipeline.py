@@ -92,10 +92,16 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     # optimizer.py:257 — mu-init removes that nondeterminism, SURVEY §7)
     mu, _ = model.apply(variables, flat, False, method=ConvVAE.encode)
 
+    def decode(z):
+        return model.apply(variables, z[None], False,
+                           method=ConvVAE.decode_to_bodypose)[0]
+
+    if cfg.solver.remat:
+        decode = jax.checkpoint(decode)
+
     def solve_one(z0, anchor, heat, bl):
         def loss(z):
-            pose = model.apply(variables, z[None], False,
-                               method=ConvVAE.decode_to_bodypose)[0]
+            pose = decode(z).astype(jnp.float32)
             return total_energy_from_pose(
                 pose, anchor, bl, heat, camera, weights, use_reproj,
                 sampling_impl=cfg.sampling_impl)

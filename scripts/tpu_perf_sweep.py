@@ -32,6 +32,11 @@ def main():
     chunks = [synthetic_chunk(100, seed=i) for i in range(n_chunks)]
     wins = num_windows(100) * n_chunks
 
+    # pre-stage on device: measure optimization, not tunnel transfers
+    from globalegomocap_tpu.data.test_data import TestChunk
+    chunks = [TestChunk(*(jax.device_put(jnp.asarray(a)) for a in c))
+              for c in chunks]
+
     prior = PriorConfig(latent_dim=2048, seq_len=10)
     model_cache = {}
 
@@ -79,7 +84,8 @@ def main():
             "orig_mpjpe": round(float(errors["original_global_mpjpe"]), 4),
         }
 
-    configs = [
+    import json as _json
+    default_configs = [
         ("lbfgs", "dense", "serial"),
         ("lbfgs_fixed", "dense", "serial"),
         ("lbfgs_fixed", "dense", "batched"),
@@ -88,6 +94,8 @@ def main():
         ("lbfgs", "gather", "serial"),
         ("adam", "dense", "serial"),
     ]
+    env_cfg = os.environ.get("SWEEP_CONFIGS")
+    configs = _json.loads(env_cfg) if env_cfg else default_configs
     results = []
     for solver, sampling, mode in configs:
         try:

@@ -1,0 +1,57 @@
+"""Sequence-directory driver tests: the reference's batch CLI behaviour
+(natural-sorted chunk dirs, per-chunk metrics, averages)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from globalegomocap_tpu.config import (
+    OptimizeConfig, SolverConfig, PriorConfig)
+from globalegomocap_tpu.data.synthetic import synthetic_chunk
+from globalegomocap_tpu.data.test_data import (
+    save_test_chunk, list_chunk_dirs)
+from globalegomocap_tpu.optimize.driver import (
+    SequenceOptimizer, build_model, optimize_sequence_dir)
+
+
+@pytest.fixture(scope="module")
+def seq_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("seq")
+    # deliberately unsorted names to exercise natural sorting
+    for start in (200, 30, 100):
+        chunk = synthetic_chunk(n_frames=30, seed=start)
+        save_test_chunk(chunk, str(d / f"data_start_{start}_end_{start+30}"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def optimizer():
+    cfg = OptimizeConfig(
+        prior=PriorConfig(latent_dim=32, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(max_iter=4, history_size=4, max_ls_evals=4))
+    model = build_model(cfg)
+    x = jnp.zeros((1, 10, 45))
+    v = model.init(jax.random.PRNGKey(0), x, False)
+    return SequenceOptimizer(model, v, v, cfg)
+
+
+def test_natural_sort(seq_dir):
+    dirs = list_chunk_dirs(seq_dir)
+    names = [d.split("data_start_")[1] for d in dirs]
+    assert names == ["30_end_60", "100_end_130", "200_end_230"]
+
+
+def test_optimize_sequence_dir(seq_dir, optimizer, capsys):
+    errors, averages, timing = optimize_sequence_dir(optimizer, seq_dir)
+    assert len(errors) == 3
+    assert set(averages) == set(errors[0])
+    assert timing["total_s"] > 0
+    out = capsys.readouterr().out
+    assert "Average optimized global pose mpjpe" in out
+    assert "joints error" in out
+    # averages really are means over chunks
+    k = "original_global_mpjpe"
+    np.testing.assert_allclose(averages[k],
+                               np.mean([e[k] for e in errors]), rtol=1e-6)

@@ -75,3 +75,25 @@ class TestEndToEndQuality:
             errors["original_global_mpjpe"], errors
         # sanity: starting error is the noise level
         assert 0.01 < errors["original_global_mpjpe"] < 0.1
+
+    def test_fixed_solver_matches_adaptive_quality(self, trained_priors):
+        """The TPU-fast fixed-iteration solver must achieve the same
+        quality as the torch-parity adaptive solver (within noise)."""
+        local_vars, global_vars, *_ = trained_priors
+        chunk = synthetic_chunk(n_frames=60, seed=11, noise_std=0.03)
+
+        results = {}
+        for method in ("lbfgs", "lbfgs_fixed"):
+            cfg = OptimizeConfig(
+                prior=PRIOR,
+                solver=SolverConfig(method=method, max_iter=20,
+                                    history_size=20, max_ls_evals=15))
+            model = build_model(cfg)
+            opt = SequenceOptimizer(model, local_vars, global_vars, cfg)
+            errors, *_ = opt.run(chunk)
+            results[method] = errors
+
+        a = float(results["lbfgs"]["optimized_global_mpjpe"])
+        f = float(results["lbfgs_fixed"]["optimized_global_mpjpe"])
+        assert f < float(results["lbfgs_fixed"]["original_global_mpjpe"])
+        assert f <= a * 1.15 + 1e-4, (f, a)
