@@ -22,7 +22,9 @@ import numpy as np
 SEED = 0
 N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "5"))
 FRAMES_PER_CHUNK = 100
-SOLVER = os.environ.get("BENCH_SOLVER", "lbfgs")
+# defaults are the measured-fastest configuration that passes the e2e
+# quality tests (see perf_sweep.json + tests/test_e2e_quality.py)
+SOLVER = os.environ.get("BENCH_SOLVER", "lbfgs_fixed")
 SAMPLING = os.environ.get("BENCH_SAMPLING", "gather")
 MODE = os.environ.get("BENCH_MODE", "serial")  # 'serial' | 'batched'
 

@@ -135,11 +135,20 @@ def optimize_sequence_dir(opt: SequenceOptimizer, data_dir: str,
     Returns (per_chunk_errors list, averages dict, timing dict)."""
     all_errors = []
     timings = []
+    failures = []
     for chunk_dir in list_chunk_dirs(data_dir):
-        chunk = load_test_chunk(chunk_dir)
-        t0 = time.perf_counter()
-        errors, *_ = opt.run(chunk)
-        dt = time.perf_counter() - t0
+        try:
+            chunk = load_test_chunk(chunk_dir)
+            t0 = time.perf_counter()
+            errors, *_ = opt.run(chunk)
+            dt = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001 — isolate corrupt chunks
+            # fault isolation the reference lacks: one bad chunk must not
+            # abort a whole-sequence evaluation
+            failures.append((chunk_dir, repr(e)))
+            if verbose:
+                print(f"SKIPPED corrupt chunk {chunk_dir}: {e!r}")
+            continue
         timings.append(dt)
         all_errors.append(errors)
         if verbose:
@@ -155,7 +164,8 @@ def optimize_sequence_dir(opt: SequenceOptimizer, data_dir: str,
         for k in all_errors[0]:
             averages[k] = np.mean([e[k] for e in all_errors], axis=0)
     timing = {"total_s": float(np.sum(timings)),
-              "per_chunk_s": float(np.mean(timings)) if timings else 0.0}
+              "per_chunk_s": float(np.mean(timings)) if timings else 0.0,
+              "failed_chunks": failures}
     if verbose and averages:
         print_summary(averages)
         print(f"total optimization time: {timing['total_s']:.2f}s")
