@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reproj_weight", default=0.01, type=float)
     p.add_argument("--save", default=False, type=str2bool,
                    help="export aligned skeleton meshes as PLY")
+    p.add_argument("--save_pose", default=False, type=str2bool,
+                   help="write result_pose.pkl per chunk (reference:"
+                        " optimizer.py:469-483)")
     p.add_argument("--final_smooth", default=True, type=str2bool)
     p.add_argument("--merge", default=True, type=str2bool)
     p.add_argument("--local_ckpt", required=True, type=str)
@@ -88,6 +91,25 @@ def main(argv=None):
         load_variables(args.global_ckpt, args.seq_len, hd),
         cfg)
     errors, averages, timing = optimize_sequence_dir(opt, args.data_path)
+
+    if args.save_pose and errors:
+        import os
+        import pickle
+        from globalegomocap_tpu.data.test_data import (
+            list_chunk_dirs, load_test_chunk)
+        for chunk_dir in list_chunk_dirs(args.data_path):
+            chunk = load_test_chunk(chunk_dir)
+            _, est, mid_local, opt_seq, gt = opt.run(chunk,
+                                                     with_metrics=False)
+            name = os.path.basename(chunk_dir)
+            out_dir = os.path.join(args.out_dir,
+                                   os.path.basename(args.data_path), name)
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, "result_pose.pkl"), "wb") as f:
+                pickle.dump({"estimated_pose": est,
+                             "optimized_pose": opt_seq,
+                             "mid_optimized_pose": mid_local,
+                             "gt_pose": gt}, f)
 
     if args.save and errors:
         import os

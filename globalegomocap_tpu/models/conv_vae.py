@@ -28,7 +28,7 @@ The optional bone-length encoder branch of the reference
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Sequence
+from typing import Any, NamedTuple, Protocol, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,19 @@ class VAEOutput(NamedTuple):
     mu: jnp.ndarray              # (B, latent)
     log_var: jnp.ndarray         # (B, latent)
     z: jnp.ndarray               # (B, latent)
+
+
+class BaseVAE(Protocol):
+    """The VAE interface contract (the reference's abstract BaseVAE,
+    networks/models/BaseVAE.py:6-29): any motion prior exposing these
+    methods plugs into the optimizer and trainer."""
+
+    def encode(self, pose: jnp.ndarray, train: bool = False): ...
+    def decode(self, z: jnp.ndarray, train: bool = False): ...
+    def decode_to_bodypose(self, z: jnp.ndarray,
+                           train: bool = False): ...
+    def __call__(self, pose: jnp.ndarray, train: bool = False,
+                 rng=None): ...
 
 
 class ConvBNAct(nn.Module):

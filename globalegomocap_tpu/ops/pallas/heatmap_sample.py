@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-BLOCK = 256
+# Block size bounds the VMEM working set: a (BLOCK, 64, 64) f32 map block
+# is BLOCK*16KB; under an outer vmap the batching rule adds a grid dim but
+# the scoped VMEM budget (16MB) still has to hold the double-buffered block
+# plus the dot_general scratch, so keep the block small.
+BLOCK = 64
 
 
 def _interpret() -> bool:

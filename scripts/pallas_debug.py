@@ -33,5 +33,29 @@ def main():
         traceback.print_exc()
 
 
+def vmap_case():
+    from globalegomocap_tpu.ops.pallas.heatmap_sample import (
+        heatmap_sample_pallas)
+    rng = np.random.default_rng(1)
+    # windows x (T*J) maps — the shape the energy sees under vmap
+    maps = jnp.asarray(rng.normal(size=(12, 150, 64, 64)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(12, 150, 2)).astype(np.float32))
+    try:
+        out = jax.jit(jax.vmap(heatmap_sample_pallas))(maps, pts)
+        jax.block_until_ready(out)
+        print("vmap forward OK", out.shape)
+    except Exception:
+        traceback.print_exc()
+        return
+    try:
+        g = jax.grad(lambda p: jnp.sum(
+            jax.vmap(heatmap_sample_pallas)(maps, p)))(pts)
+        jax.block_until_ready(g)
+        print("vmap backward OK", g.shape)
+    except Exception:
+        traceback.print_exc()
+
+
 if __name__ == "__main__":
     main()
+    vmap_case()
