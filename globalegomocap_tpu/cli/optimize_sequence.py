@@ -42,8 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--global_ckpt", required=True, type=str)
     p.add_argument("--latent_dim", default=2048, type=int)
     p.add_argument("--seq_len", default=10, type=int)
-    p.add_argument("--solver", default="lbfgs", choices=["lbfgs", "adam"])
+    p.add_argument("--solver", default="lbfgs",
+                   choices=["lbfgs", "lbfgs_fixed", "adam"])
+    p.add_argument("--sampling", default="gather",
+                   choices=["gather", "dense", "pallas"])
     p.add_argument("--out_dir", default="out", type=str)
+    p.add_argument("--profile_dir", default=None, type=str,
+                   help="capture a jax.profiler device trace here")
     return p
 
 
@@ -79,6 +84,7 @@ def main(argv=None):
                             reproj=args.reproj_weight),
         prior=PriorConfig(latent_dim=args.latent_dim, seq_len=args.seq_len),
         solver=SolverConfig(method=args.solver),
+        sampling_impl=args.sampling,
         camera=args.camera,
         final_smooth=args.final_smooth,
         merge=args.merge,
@@ -90,7 +96,15 @@ def main(argv=None):
         load_variables(args.local_ckpt, args.seq_len, hd),
         load_variables(args.global_ckpt, args.seq_len, hd),
         cfg)
-    errors, averages, timing = optimize_sequence_dir(opt, args.data_path)
+
+    if args.profile_dir:
+        from globalegomocap_tpu.utils.profiling import device_trace
+        with device_trace(args.profile_dir):
+            errors, averages, timing = optimize_sequence_dir(
+                opt, args.data_path)
+    else:
+        errors, averages, timing = optimize_sequence_dir(opt,
+                                                         args.data_path)
 
     if args.save_pose and errors:
         import os

@@ -1,0 +1,73 @@
+"""Streaming sequence optimization for serving.
+
+Production-oriented runtime the reference has no equivalent of: a
+long-lived service that keeps the compiled two-stage program warm and
+pipelines chunk processing — JAX's async dispatch overlaps chunk t+1's
+host->device transfer with chunk t's on-device optimization, with a bounded
+in-flight window so HBM stays bounded.
+
+Usage:
+    service = StreamingOptimizer(seq_optimizer, max_in_flight=2)
+    for chunk in chunk_source:
+        service.submit(chunk)
+    results = service.drain()
+"""
+
+from __future__ import annotations
+
+import collections
+import time
+
+import jax
+
+from globalegomocap_tpu.data.test_data import TestChunk
+from globalegomocap_tpu.optimize.driver import SequenceOptimizer
+from globalegomocap_tpu.optimize.pipeline import ChunkResult
+from globalegomocap_tpu.utils.profiling import ThroughputMeter
+
+
+class StreamingOptimizer:
+    """Pipelined chunk optimization with bounded in-flight depth."""
+
+    def __init__(self, optimizer: SequenceOptimizer,
+                 max_in_flight: int = 2):
+        self.optimizer = optimizer
+        self.max_in_flight = max_in_flight
+        self._in_flight: collections.deque = collections.deque()
+        self._completed: list[ChunkResult] = []
+        self.meter = ThroughputMeter(unit="chunks")
+        self._t_first: float | None = None
+
+    def submit(self, chunk: TestChunk) -> None:
+        """Enqueue a chunk.  Returns as soon as the work is dispatched;
+        blocks only when `max_in_flight` results are already pending (then
+        waits for the oldest)."""
+        if self._t_first is None:
+            self._t_first = time.perf_counter()
+        while len(self._in_flight) >= self.max_in_flight:
+            self._finish_oldest()
+        self._in_flight.append(self.optimizer.optimize_chunk(chunk))
+
+    def _finish_oldest(self) -> None:
+        result = self._in_flight.popleft()
+        jax.block_until_ready(result.optimized)
+        self._completed.append(result)
+        self.meter.total_units += 1
+
+    def drain(self) -> list[ChunkResult]:
+        """Wait for all in-flight work; return every completed result in
+        submission order and reset the pipeline."""
+        while self._in_flight:
+            self._finish_oldest()
+        if self._t_first is not None:
+            self.meter.total_seconds += time.perf_counter() - self._t_first
+        out = self._completed
+        self._completed = []
+        self._t_first = None
+        return out
+
+    def process_all(self, chunks) -> list[ChunkResult]:
+        """Convenience: submit everything, drain, return results."""
+        for c in chunks:
+            self.submit(c)
+        return self.drain()
