@@ -16,7 +16,6 @@ the sharding axis for multi-chip execution (parallel/mesh.py).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -8,8 +8,6 @@ cylinders, all written as ascii/binary PLY.
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
 from globalegomocap_tpu.ops.skeleton import BONE_LINES

@@ -59,7 +59,6 @@ def load_mat_frames(heatmap_dir: str, depth_dir: str, start: int, end: int):
     """Read per-frame .mat files ('heatmap' (H, W, 15), 'depth' (15,)),
     natural-sorted (reference: process_test_data.py:49-68)."""
     from scipy.io import loadmat
-    from globalegomocap_tpu.data.test_data import list_chunk_dirs  # noqa
 
     def natkey(s):
         import re

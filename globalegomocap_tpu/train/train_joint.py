@@ -13,7 +13,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 
 from globalegomocap_tpu.config import TrainConfig
 from globalegomocap_tpu.models.joint_vae import (

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from globalegomocap_tpu.config import TrainConfig
 from globalegomocap_tpu.data.amass import AmassWindows
