@@ -43,6 +43,21 @@ def test_natural_sort(seq_dir):
     assert names == ["30_end_60", "100_end_130", "200_end_230"]
 
 
+def test_batched_multi_chunk(optimizer):
+    """One launch over several equal-length chunks (chunk axis sharded on
+    the 8-device CPU mesh) gives the same results as per-chunk calls."""
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    chunks = [synthetic_chunk(n_frames=26, seed=s) for s in range(8)]
+    batched = optimizer.optimize_chunks_batched(chunks)
+    # 26 frames -> windows at 0/8/16, covered = 16 + 10 = 26
+    assert batched.optimized.shape == (8, 26, 15, 3)
+    for i, c in enumerate(chunks):
+        single = optimizer.optimize_chunk(c)
+        np.testing.assert_allclose(np.asarray(batched.optimized[i]),
+                                   np.asarray(single.optimized),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_optimize_sequence_dir(seq_dir, optimizer, capsys):
     errors, averages, timing = optimize_sequence_dir(optimizer, seq_dir)
     assert len(errors) == 3
