@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--global_ckpt", required=True, type=str)
     p.add_argument("--latent_dim", default=2048, type=int)
     p.add_argument("--seq_len", default=10, type=int)
+    p.add_argument("--hidden_dims", default="64,64,128,256,512", type=str,
+                   help="comma-separated encoder channel widths")
     p.add_argument("--solver", default="lbfgs",
                    choices=["lbfgs", "lbfgs_fixed", "adam"])
     p.add_argument("--sampling", default="gather",
@@ -82,7 +84,9 @@ def main(argv=None):
                             bone_length=args.bone_length,
                             weight_3d=args.weight_3d,
                             reproj=args.reproj_weight),
-        prior=PriorConfig(latent_dim=args.latent_dim, seq_len=args.seq_len),
+        prior=PriorConfig(latent_dim=args.latent_dim, seq_len=args.seq_len,
+                          hidden_dims=tuple(
+                              int(x) for x in args.hidden_dims.split(","))),
         solver=SolverConfig(method=args.solver),
         sampling_impl=args.sampling,
         camera=args.camera,
