@@ -77,15 +77,21 @@ def make_train_step(model: ConvVAE, tx, kld_weight: float):
 
 def make_eval_step(model: ConvVAE):
     """Eval = deterministic (z = mu) reconstruction MPJPE
-    (reference: networks/train.py:110-129)."""
+    (reference: networks/train.py:110-129).
 
-    def step(state: TrainState, batch: jnp.ndarray):
+    Takes a per-window validity mask so padded rows (added to make the
+    sharded batch axis divide the device count) don't bias the mean;
+    returns (sum of per-window MPJPE over valid rows, valid count)."""
+
+    def step(state: TrainState, batch: jnp.ndarray, mask: jnp.ndarray):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch, False)
         pred = out.reconstruction.reshape(batch.shape[0], -1, 15, 3)
         gt = batch.reshape(batch.shape[0], -1, 15, 3)
-        return jnp.mean(jnp.linalg.norm(pred - gt, axis=-1))
+        per_window = jnp.mean(jnp.linalg.norm(pred - gt, axis=-1),
+                              axis=(1, 2))
+        return jnp.sum(per_window * mask), jnp.sum(mask)
 
     return step
 
@@ -125,7 +131,7 @@ class Trainer:
             donate_argnums=(0,))
         self._eval_step = jax.jit(
             make_eval_step(self.model),
-            in_shardings=(self._repl, self._batch_sh))
+            in_shardings=(self._repl, self._batch_sh, self._batch_sh))
 
         self.history: list[dict] = []
 
@@ -168,24 +174,26 @@ class Trainer:
         return self.state
 
     def evaluate(self) -> float:
-        vals = []
+        total, count = 0.0, 0.0
         np_rng = np.random.default_rng(0)
         for batch in self.test_ds.epoch_batches(np_rng, self.cfg.batch_size,
                                                 drop_last=False,
                                                 shuffle=False):
-            # pad so the sharded axis divides the device count
+            # pad so the sharded axis divides the device count; the mask
+            # zeroes the padded rows out of the statistics
             n = batch.shape[0]
             d = self.mesh.size
-            if n % d:
+            pad = (-n) % d
+            mask = np.ones(n + pad, dtype=np.float32)
+            if pad:
                 batch = np.concatenate(
-                    [batch, np.repeat(batch[-1:], (-n) % d, axis=0)])
-            v = float(self._eval_step(self.state,
-                                      self._device_batch(batch)))
-            vals.append((v, n))
-        if not vals:
-            return float("nan")
-        tot = sum(n for _, n in vals)
-        return float(sum(v * n for v, n in vals) / tot)
+                    [batch, np.repeat(batch[-1:], pad, axis=0)])
+                mask[n:] = 0.0
+            s, c = self._eval_step(self.state, self._device_batch(batch),
+                                   self._device_batch(mask))
+            total += float(s)
+            count += float(c)
+        return total / count if count else float("nan")
 
     def save_checkpoint(self, directory: str, epoch: int,
                         eval_result: float):
