@@ -33,6 +33,8 @@ class SolverConfig:
     max_ls_evals: int = 25
     adam_steps: int = 150
     adam_lr: float = 0.05
+    # fixed-solver parallel line search candidates (fractions of lr)
+    step_candidates: tuple = (1.0, 0.5, 0.1, 0.02)
     # rematerialize the decoder in the backward pass (trades FLOPs for HBM,
     # for very large window batches)
     remat: bool = False
