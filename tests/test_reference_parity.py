@@ -1,0 +1,150 @@
+"""Whole-algorithm parity test vs a torch implementation of the reference.
+
+Runs ONE window through stage-1 latent optimization twice — once with
+torch (the reference's exact machinery: torch LBFGS lr=2/25 iters/strong
+Wolfe, grid_sample heatmap energy, torch ConvVAE) and once with this
+framework — using IDENTICAL weights via the checkpoint converter and the
+same deterministic mu-init.  The achieved energies and decoded poses must
+agree.  This is the deepest cross-check available without the reference's
+unreleased evaluation data.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from globalegomocap_tpu.config import (
+    OptimizeConfig, SolverConfig, PriorConfig)
+from globalegomocap_tpu.data.synthetic import synthetic_chunk
+from globalegomocap_tpu.energy.terms import (
+    EnergyWeights, total_energy_from_pose)
+from globalegomocap_tpu.models.conv_vae import ConvVAE
+from globalegomocap_tpu.models.torch_convert import torch_state_dict_to_flax
+from globalegomocap_tpu.ops import fisheye
+from globalegomocap_tpu.ops.skeleton import (
+    mean_bone_lengths, KINEMATIC_PARENTS)
+from globalegomocap_tpu.optimize.lbfgs import lbfgs_minimize
+
+
+LATENT = 64
+HIDDEN = (16, 16, 32, 32, 64)
+WEIGHTS = dict(w3d=0.01 / 1e4, smooth=0.001 / 100, bone=0.01, reproj=0.01)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import torch
+    from tests.torch_vae_harness import TorchConvVAE
+
+    torch.manual_seed(3)
+    tmodel = TorchConvVAE(latent_dim=LATENT, seq_len=10,
+                          hidden_dims=HIDDEN).eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, torch_state_dict_to_flax(sd, 10, HIDDEN))
+
+    chunk = synthetic_chunk(n_frames=12, seed=42, noise_std=0.03)
+    anchor = chunk.estimated_local[:10]                   # (10, 15, 3)
+    heat = chunk.heatmaps[:10].transpose(0, 3, 1, 2)      # (10, 15, H, W)
+    mean_bl = np.asarray(mean_bone_lengths(
+        jnp.asarray(chunk.estimated_local)))
+    return tmodel, variables, anchor, heat, mean_bl
+
+
+def torch_stage(tmodel, anchor, heat, mean_bl):
+    """The reference's stage-1: torch LBFGS over the latent with the exact
+    energies (deterministic mu init for comparability)."""
+    import torch
+
+    cam_center = np.asarray(fisheye.default_camera("egosyn").center)
+    w2c = np.asarray(fisheye.default_camera("egosyn").poly_w2c)
+
+    t_anchor = torch.tensor(anchor)
+    t_heat = torch.tensor(heat.reshape(-1, 1, 64, 64))
+    t_bl = torch.tensor(mean_bl)
+
+    def project(p):  # (N, 3) -> (N, 2), full-image pixels
+        x, y, z = p[:, 0], p[:, 1], -p[:, 2]
+        norm = torch.sqrt(x * x + y * y).clamp_min(1e-9)
+        theta = torch.atan(z / norm)
+        rho = torch.zeros_like(theta)
+        for c in reversed(w2c):
+            rho = rho * theta + float(c)
+        return torch.stack([x / norm * rho + cam_center[0],
+                            y / norm * rho + cam_center[1]], 1)
+
+    def loss_fn(z):
+        pose = tmodel.decode(z).reshape(10, 15, 3)
+        e3d = torch.sum((pose - t_anchor) ** 2)
+        vel = pose[1:] - pose[:-1]
+        acc = vel[1:] - vel[:-1]
+        es = torch.sum(acc ** 2)
+        bones = pose - pose[:, KINEMATIC_PARENTS, :]
+        eb = torch.sum((torch.norm(bones, dim=-1) - t_bl) ** 2)
+        p2d = project(pose.reshape(-1, 3))
+        p2d = torch.stack([p2d[:, 0] - 128.0, p2d[:, 1]], 1)
+        grid = ((p2d - 512.0) / 512.0).view(-1, 1, 1, 2)
+        heat_s = torch.nn.functional.grid_sample(t_heat, grid,
+                                                 align_corners=True)
+        er = -torch.sum(heat_s)
+        return (WEIGHTS["w3d"] * e3d + WEIGHTS["smooth"] * es
+                + WEIGHTS["bone"] * eb + WEIGHTS["reproj"] * er)
+
+    with torch.no_grad():
+        mu, _ = tmodel.encode(torch.tensor(anchor.reshape(1, 10, 45)))
+    z = torch.nn.Parameter(mu.clone())
+    opt = torch.optim.LBFGS([z], lr=2.0, max_iter=25,
+                            tolerance_change=1e-6,
+                            line_search_fn="strong_wolfe")
+
+    def closure():
+        opt.zero_grad()
+        loss = loss_fn(z)
+        loss.backward()
+        return loss
+
+    opt.step(closure)
+    with torch.no_grad():
+        return (float(loss_fn(z)),
+                tmodel.decode(z).reshape(10, 15, 3).numpy())
+
+
+def jax_stage(variables, anchor, heat, mean_bl):
+    model = ConvVAE(latent_dim=LATENT, seq_len=10, hidden_dims=HIDDEN)
+    cam = fisheye.default_camera("egosyn")
+    weights = EnergyWeights.create(
+        weight_3d=WEIGHTS["w3d"], smooth=WEIGHTS["smooth"],
+        bone_length=WEIGHTS["bone"], vae=0.0, reproj=WEIGHTS["reproj"])
+
+    j_anchor = jnp.asarray(anchor)
+    j_heat = jnp.asarray(heat)
+    j_bl = jnp.asarray(mean_bl)
+
+    def loss(z):
+        pose = model.apply(variables, z[None], False,
+                           method=ConvVAE.decode_to_bodypose)[0]
+        return total_energy_from_pose(pose, j_anchor, j_bl, j_heat, cam,
+                                      weights, True)
+
+    mu, _ = model.apply(variables, j_anchor.reshape(1, 10, 45), False,
+                        method=ConvVAE.encode)
+    res = lbfgs_minimize(loss, mu[0], max_iter=25, history_size=25)
+    pose = model.apply(variables, res.x[None], False,
+                       method=ConvVAE.decode_to_bodypose)[0]
+    return float(res.f), np.asarray(pose)
+
+
+def test_stage1_parity(setup):
+    tmodel, variables, anchor, heat, mean_bl = setup
+
+    f_torch, pose_torch = torch_stage(tmodel, anchor, heat, mean_bl)
+    f_jax, pose_jax = jax_stage(variables, anchor, heat, mean_bl)
+
+    # the initial (mu-init) energies are identical by the converter parity
+    # test; both optimizers must reach essentially the same minimum
+    assert f_jax <= f_torch * 1.02 + 1e-6, (f_jax, f_torch)
+    assert f_torch <= f_jax * 1.02 + 1e-6, (f_jax, f_torch)
+    # and essentially the same pose (mm-scale agreement)
+    mpjpe = np.linalg.norm(pose_jax - pose_torch, axis=-1).mean()
+    assert mpjpe < 5e-3, mpjpe
