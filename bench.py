@@ -28,10 +28,10 @@ SOLVER = os.environ.get("BENCH_SOLVER", "lbfgs_fixed")
 SAMPLING = os.environ.get("BENCH_SAMPLING", "gather")
 MODE = os.environ.get("BENCH_MODE", "serial")  # 'serial' | 'batched'
 
-# torch-CPU reference-equivalent baseline (sec/window, two stages), as
+# torch-CPU reference-equivalent baseline (windows/sec, two stages), as
 # measured by scripts/measure_torch_baseline.py on this machine; see
 # BASELINE.md.  Used when baseline_torch.json is absent.
-FALLBACK_BASELINE_WINDOWS_PER_SEC = 0.5
+FALLBACK_BASELINE_WINDOWS_PER_SEC = 0.29
 
 
 def load_baseline() -> float:

@@ -53,6 +53,7 @@ class SequenceOptimizer:
         self._camera = resolve_camera(self.cfg)
         self._jitted = make_chunk_optimizer(self.model, self.cfg,
                                             self._camera)
+        self._jit_cache = {}
 
     def optimize_chunk(self, chunk: TestChunk) -> ChunkResult:
         return self._jitted(
@@ -79,8 +80,6 @@ class SequenceOptimizer:
 
         n_dev = len(jax.devices())
         key = ("batched", est.shape, n_dev)
-        if not hasattr(self, "_jit_cache"):
-            self._jit_cache = {}
         if key not in self._jit_cache:
             def run(lv, gv, est, cams, heat, gt):
                 return optimize_chunks_batched(
