@@ -60,3 +60,22 @@ def test_golden_lbfgs():
 
 def test_golden_lbfgs_fixed():
     _check_or_create("pipeline_lbfgs_fixed", _run("lbfgs_fixed"))
+
+
+def test_golden_metrics():
+    """The 17-metric suite on fixed inputs must stay numerically stable."""
+    from globalegomocap_tpu.evaluation.metrics import (
+        calculate_errors, METRIC_KEYS)
+    rng = np.random.default_rng(7)
+    est, mid, opt, gt = (jnp.asarray(
+        rng.normal(size=(20, 15, 3)).astype(np.float32)) for _ in range(4))
+    out = calculate_errors(est, mid, opt, gt)
+    vec = np.concatenate([np.atleast_1d(np.asarray(out[k], dtype=np.float64))
+                          for k in METRIC_KEYS])
+    path = os.path.join(GOLDEN_DIR, "metrics.npz")
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    if not os.path.exists(path):
+        np.savez_compressed(path, vec=vec)
+        return
+    ref = np.load(path)["vec"]
+    np.testing.assert_allclose(vec, ref, rtol=1e-4, atol=1e-6)
