@@ -20,7 +20,9 @@ import time
 import numpy as np
 
 SEED = 0
-N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "5"))
+# 20 chunks = 240 windows, the size at which throughput saturates
+# (perf_sweep.json); equals ~4 reference evaluation sequences
+N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "20"))
 FRAMES_PER_CHUNK = 100
 # defaults are the measured-fastest configuration that passes the e2e
 # quality tests (see perf_sweep.json + tests/test_e2e_quality.py)

@@ -1,0 +1,111 @@
+"""Self-contained headline demo: the complete user journey on one TPU.
+
+1. Generate synthetic AMASS training motion and 5 synthetic evaluation
+   "sequences" (the data shape of the reference's 5-sequence benchmark).
+2. Train the full-size local + global priors on-device.
+3. Optimize every sequence with the fastest verified configuration and
+   print the reference-style per-sequence metric summaries, overall
+   averages, and total optimization wall-clock.
+
+Run:  python scripts/run_headline.py   (~5 min on one v5e)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, PriorConfig, SolverConfig, TrainConfig)
+    from globalegomocap_tpu.data.amass import AmassWindows
+    from globalegomocap_tpu.data.synthetic import (
+        synthetic_amass, synthetic_chunk)
+    from globalegomocap_tpu.data.test_data import TestChunk
+    from globalegomocap_tpu.evaluation.metrics import calculate_errors
+    from globalegomocap_tpu.models.conv_vae import ConvVAE
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model, print_summary)
+    from globalegomocap_tpu.optimize.window import num_windows
+    from globalegomocap_tpu.train.train_vae import Trainer
+    from globalegomocap_tpu.utils.profiling import ThroughputMeter
+
+    print("=== 1/3 generating synthetic AMASS motion ===", flush=True)
+    seqs = synthetic_amass(n_sequences=10, frames_per_seq=250, seed=5)
+
+    def train(local_pose):
+        cfg = TrainConfig(latent_dim=2048, seq_length=10, epochs=8,
+                          batch_size=64, kl_weight=0.5,
+                          learning_rate=1e-3, log_step=0)
+        ds = AmassWindows.from_sequences(seqs, frame_num=10,
+                                         local_pose=local_pose)
+        trainer = Trainer(cfg, ds, AmassWindows(ds.windows[::17]),
+                          ConvVAE(latent_dim=2048, seq_len=10))
+        t0 = time.time()
+        trainer.train(log_fn=lambda *_: None)
+        print(f"  {'local' if local_pose else 'global'} prior: recon "
+              f"MPJPE {trainer.evaluate():.4f} ({time.time()-t0:.0f}s)",
+              flush=True)
+        return trainer.variables
+
+    print("=== 2/3 training full-size priors on device ===", flush=True)
+    local_vars = train(True)
+    global_vars = train(False)
+
+    print("=== 3/3 optimizing 5 sequences ===", flush=True)
+    cfg = OptimizeConfig(prior=PriorConfig(latent_dim=2048, seq_len=10),
+                         solver=SolverConfig(method="lbfgs_fixed"),
+                         sampling_impl="gather")
+    opt = SequenceOptimizer(build_model(cfg), local_vars, global_vars, cfg)
+
+    # 5 sequences x 5 chunks x 100 frames (the reference's scale)
+    sequences = {
+        f"synthetic-{i}": [
+            TestChunk(*(jax.device_put(jnp.asarray(a))
+                        for a in synthetic_chunk(100, seed=1000 * i + j)))
+            for j in range(5)]
+        for i in range(5)
+    }
+
+    # warm up the compiled program once
+    jax.block_until_ready(
+        opt.optimize_chunk(next(iter(sequences.values()))[0]).optimized)
+
+    meter = ThroughputMeter(unit="windows")
+    overall = {}
+    for name, chunks in sequences.items():
+        per_chunk = []
+        with meter.measure(num_windows(100) * len(chunks)):
+            outs = [opt.optimize_chunk(c) for c in chunks]
+            for o in outs:
+                jax.block_until_ready(o.optimized)
+        for o in outs:
+            per_chunk.append({k: np.asarray(v) for k, v in calculate_errors(
+                o.estimated, o.mid, o.optimized, o.gt).items()})
+        avg = {k: np.mean([e[k] for e in per_chunk], axis=0)
+               for k in per_chunk[0]}
+        overall[name] = avg
+        print(f"--- {name} ---")
+        print_summary(avg)
+
+    print("=== overall ===")
+    keys = next(iter(overall.values())).keys()
+    for k in keys:
+        if k != "joints_error":
+            print(f"{k}: {np.mean([v[k] for v in overall.values()]):.5f}")
+    print(f"optimization throughput: {meter.report()}")
+    print(f"total optimization wall-clock: {meter.total_seconds:.2f}s "
+          f"for 25 chunks / 300 windows / 5 sequences")
+
+
+if __name__ == "__main__":
+    main()
