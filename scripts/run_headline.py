@@ -43,7 +43,8 @@ def main():
     seqs = synthetic_amass(n_sequences=10, frames_per_seq=250, seed=5)
 
     def train(local_pose):
-        cfg = TrainConfig(latent_dim=2048, seq_length=10, epochs=8,
+        epochs = int(os.environ.get("HEADLINE_EPOCHS", "8"))
+        cfg = TrainConfig(latent_dim=2048, seq_length=10, epochs=epochs,
                           batch_size=64, kl_weight=0.5,
                           learning_rate=1e-3, log_step=0)
         ds = AmassWindows.from_sequences(seqs, frame_num=10,
