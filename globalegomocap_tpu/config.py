@@ -51,6 +51,10 @@ class EnergyConfig:
     bone_length: float = 0.01
     weight_3d: float = 0.01
     reproj: float = 0.01
+    # cross-window coupling (> 0 switches each stage to ONE joint
+    # whole-sequence solve over all window latents; no reference
+    # equivalent — enabled by batching the windows)
+    overlap_consistency: float = 0.0
 
 
 @dataclass(frozen=True)

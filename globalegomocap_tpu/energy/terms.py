@@ -155,6 +155,26 @@ def heatmap_energy(pose: jnp.ndarray, heatmaps: jnp.ndarray,
     return -jnp.sum(sample(maps, grid))
 
 
+def overlap_consistency_energy(poses: jnp.ndarray,
+                               stride: int) -> jnp.ndarray:
+    """Cross-window coupling: adjacent sliding windows must agree on their
+    shared frames.
+
+    poses: (W, T, 15, 3) — ALL windows of a chunk (the windows overlap by
+    T - stride frames).  No reference equivalent: the reference optimizes
+    windows serially and merges by post-hoc averaging
+    (optimizer.py:425-437); batching all windows on TPU makes jointly
+    optimizing the whole sequence with this term possible.
+    """
+    t = poses.shape[1]
+    overlap = t - stride
+    if overlap <= 0 or poses.shape[0] < 2:
+        return jnp.asarray(0.0, poses.dtype)
+    tail = poses[:-1, stride:]    # last `overlap` frames of window i
+    head = poses[1:, :overlap]    # first `overlap` frames of window i+1
+    return jnp.sum(jnp.square(tail - head))
+
+
 def total_energy_from_pose(pose: jnp.ndarray,
                            initial_pose: jnp.ndarray,
                            mean_bone_length: jnp.ndarray,

@@ -106,7 +106,38 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
                 sampling_impl=cfg.sampling_impl)
         return _solve(cfg, loss, z0)
 
-    z_star = jax.vmap(solve_one)(mu, init_pose, heatmaps, mean_bl)
+    coupling = float(cfg.energy.overlap_consistency)
+    if coupling > 0.0:
+        # JOINT whole-sequence solve: one optimization over the
+        # concatenated window latents with the cross-window coupling term
+        # (impossible in the reference's serial-window design).
+        from globalegomocap_tpu.energy.terms import (
+            overlap_consistency_energy)
+        latent = mu.shape[-1]
+
+        def decode_all(z_flat):
+            z = z_flat.reshape(w, latent)
+            return model.apply(variables, z, False,
+                               method=ConvVAE.decode_to_bodypose
+                               ).astype(jnp.float32)
+
+        if cfg.solver.remat:
+            decode_all = jax.checkpoint(decode_all)
+
+        def joint_loss(z_flat):
+            poses = decode_all(z_flat)              # (W, T, 15, 3)
+            per_window = jax.vmap(
+                lambda p, a, h, b: total_energy_from_pose(
+                    p, a, b, h, camera, weights, use_reproj,
+                    sampling_impl=cfg.sampling_impl))(
+                poses, init_pose, heatmaps, mean_bl)
+            couple = overlap_consistency_energy(poses, cfg.window.stride)
+            return jnp.sum(per_window) + coupling * couple
+
+        z_star = _solve(cfg, joint_loss, mu.reshape(-1)).reshape(w, latent)
+    else:
+        z_star = jax.vmap(solve_one)(mu, init_pose, heatmaps, mean_bl)
+
     out = model.apply(variables, z_star, False,
                       method=ConvVAE.decode_to_bodypose)
     return out
