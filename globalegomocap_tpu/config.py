@@ -86,6 +86,10 @@ class OptimizeConfig:
     sampling_impl: str = "gather"   # heatmap sampling: 'gather' | 'dense'
     final_smooth: bool = True
     final_smooth_sigma: float = 1.0
+    # 'gaussian' (reference behaviour, optimizer.py:448-450) or 'one_euro'
+    # (the adaptive filter the reference imports but never wires in,
+    # optimizer.py:30)
+    final_smooth_method: str = "gaussian"
     input_smooth_sigma: float = 1.0
     merge: bool = True
     compute_dtype: str = "float32"

@@ -200,8 +200,15 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
     )
 
     if cfg.final_smooth:
-        merged = merged._replace(optimized=gaussian_filter1d(
-            merged.optimized, cfg.final_smooth_sigma, axis=0))
+        if cfg.final_smooth_method == "one_euro":
+            from globalegomocap_tpu.ops.filtering import one_euro_filter
+            n = merged.optimized.shape[0]
+            ts = jnp.arange(1, n + 1, dtype=merged.optimized.dtype) / 25.0
+            smoothed = one_euro_filter(ts, merged.optimized)
+        else:
+            smoothed = gaussian_filter1d(
+                merged.optimized, cfg.final_smooth_sigma, axis=0)
+        merged = merged._replace(optimized=smoothed)
     return merged
 
 

@@ -37,6 +37,18 @@ def test_bfloat16_decoder_runs():
                                             max_iter=3, history_size=3)))
 
 
+def test_one_euro_final_smoother():
+    cfg = OptimizeConfig(prior=PRIOR, final_smooth_method="one_euro",
+                         solver=SolverConfig(method="lbfgs_fixed",
+                                             max_iter=3, history_size=3))
+    errors = _run(cfg)
+    cfg_g = with_overrides(cfg, final_smooth_method="gaussian")
+    errors_g = _run(cfg_g)
+    # both filters produce finite, different results
+    assert errors["optimized_global_mpjpe"] != \
+        errors_g["optimized_global_mpjpe"]
+
+
 def test_remat_matches_plain():
     cfg_plain = OptimizeConfig(prior=PRIOR,
                                solver=SolverConfig(method="lbfgs_fixed",
