@@ -90,11 +90,13 @@ def main(argv=None):
         train_ds = AmassWindows.from_dir(
             args.train_data_path, frame_num=args.seq_length, fps=args.fps,
             is_train=True, local_pose=args.local_pose,
-            balance_walking=args.data_balance, mo2cap2_names=names)
+            balance_walking=args.data_balance, mo2cap2_names=names,
+            dilation=args.slide_window_step)
         test_ds = AmassWindows.from_dir(
             args.train_data_path, frame_num=args.seq_length, fps=args.fps,
             is_train=False, local_pose=args.local_pose,
-            balance_walking=args.data_balance, mo2cap2_names=names)
+            balance_walking=args.data_balance, mo2cap2_names=names,
+            dilation=args.slide_window_step)
 
     print(f"train windows: {len(train_ds)}, test windows: {len(test_ds)}")
 

@@ -64,7 +64,8 @@ def _cams_to_matrices(cam_list) -> np.ndarray:
 
 def window_sequences(data_list: list[dict], frame_num: int = 10,
                      fps: int = 25, slide_window: bool = True,
-                     local_pose: bool = False) -> np.ndarray:
+                     local_pose: bool = False,
+                     dilation: int = 1) -> np.ndarray:
     """Slice all sequences into (W, frame_num, 45) training windows.
 
     Resampling: stride = round(seq_frame_rate / fps)
@@ -72,6 +73,12 @@ def window_sequences(data_list: list[dict], frame_num: int = 10,
     the relative-global (camera-0) frame, the global prior's target;
     local_pose=True emits the raw camera-frame windows (the local prior's
     target, local_dataset.py:82-98).
+
+    `dilation` is the reference's `windows_size` / `--slide_window_step`
+    option (global_dataset.py:82-109: a window spans
+    frame_num*windows_size resampled frames and keeps every
+    windows_size-th) — algebraically it just multiplies the temporal
+    stride, which is how it is implemented here.
     """
     import jax.numpy as jnp
 
@@ -79,7 +86,7 @@ def window_sequences(data_list: list[dict], frame_num: int = 10,
     for seq in data_list:
         poses = np.asarray(seq["local_pose_list"], dtype=np.float32)
         n = len(poses)
-        stride_t = max(1, round(int(seq["frame_rate"]) / fps))
+        stride_t = max(1, round(int(seq["frame_rate"]) / fps)) * dilation
         span = frame_num * stride_t
         interval = 1 if slide_window else span
         if n <= span:
@@ -121,11 +128,11 @@ class AmassWindows:
     def from_dir(cls, path: str, frame_num: int = 10, fps: int = 25,
                  is_train: bool = True, slide_window: bool = True,
                  local_pose: bool = False, balance_walking: bool = False,
-                 mo2cap2_names=None) -> "AmassWindows":
+                 mo2cap2_names=None, dilation: int = 1) -> "AmassWindows":
         data = load_amass_pkls(path, is_train, mo2cap2_names,
                                balance_walking)
         return cls(window_sequences(data, frame_num, fps, slide_window,
-                                    local_pose))
+                                    local_pose, dilation))
 
     @classmethod
     def from_sequences(cls, data_list: list[dict], frame_num: int = 10,

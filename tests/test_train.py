@@ -38,6 +38,19 @@ class TestAmassWindows:
             data[0]["local_pose_list"][0:20:2]).reshape(10, 45)
         np.testing.assert_allclose(w[0], expected, rtol=1e-6)
 
+    def test_dilation(self, amass_data):
+        """dilation (the reference's windows_size) multiplies the temporal
+        stride: a window spans frame_num*dilation frames keeping every
+        dilation-th."""
+        data = [amass_data[0]]
+        w = window_sequences(data, frame_num=10, fps=25, local_pose=True,
+                             dilation=2)
+        # span = 20 frames -> 80 - 20 = 60 windows
+        assert w.shape[0] == 60
+        expected = np.asarray(
+            data[0]["local_pose_list"][0:20:2]).reshape(10, 45)
+        np.testing.assert_allclose(w[0], expected, rtol=1e-6)
+
     def test_disjoint_windows(self, amass_data):
         w = window_sequences(amass_data, frame_num=10, fps=25,
                              slide_window=False, local_pose=True)
