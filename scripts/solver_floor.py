@@ -68,8 +68,12 @@ def main():
 
     n_evals = 125  # one stage's worth of vg evals
 
+    # NOTE: data must be ARGUMENTS, not closures — closed-over arrays bake
+    # into the HLO as constants (a ~600MB program the remote compiler
+    # rejects with HTTP 413).
+
     @jax.jit
-    def run_vg(z0):
+    def run_vg(z0, win, heat, bl):
         def body(z, _):
             f, g = batched_vg(z, win, heat, bl)
             return z - 1e-4 * g, f
@@ -77,7 +81,7 @@ def main():
         return fs
 
     @jax.jit
-    def run_v(z0):
+    def run_v(z0, win, heat, bl):
         def body(z, _):
             f = batched_v(z, win, heat, bl)
             return z + 1e-6, f
@@ -86,10 +90,10 @@ def main():
 
     out = {}
     for name, fn in (("value_and_grad", run_vg), ("value_only", run_v)):
-        fs = fn(mu)
+        fs = fn(mu, win, heat, bl)
         jax.block_until_ready(fs)
         t0 = time.perf_counter()
-        fs = fn(mu)
+        fs = fn(mu, win, heat, bl)
         jax.block_until_ready(fs)
         dt = time.perf_counter() - t0
         out[name] = {"evals_per_sec": round(n_evals / dt, 2),
