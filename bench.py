@@ -28,7 +28,9 @@ FRAMES_PER_CHUNK = 100
 # quality tests (see perf_sweep.json + tests/test_e2e_quality.py)
 SOLVER = os.environ.get("BENCH_SOLVER", "lbfgs_fixed")
 SAMPLING = os.environ.get("BENCH_SAMPLING", "gather")
-MODE = os.environ.get("BENCH_MODE", "serial")  # 'serial' | 'batched'
+# 'flat' (one concatenated solver batch, fastest single-chip) | 'serial'
+# (per-chunk launches) | 'batched' (chunk-vmapped, the multi-chip path)
+MODE = os.environ.get("BENCH_MODE", "flat")
 
 # torch-CPU reference-equivalent baseline (windows/sec, two stages), as
 # measured by scripts/measure_torch_baseline.py on this machine; see
@@ -77,9 +79,10 @@ def main():
     chunks = [TestChunk(*(jax.device_put(jnp.asarray(a)) for a in c))
               for c in chunks]
 
-    if MODE == "batched":
+    if MODE in ("batched", "flat"):
         def run_all():
-            out = opt.optimize_chunks_batched(chunks)
+            out = opt.optimize_chunks_batched(
+                chunks, mode="flat" if MODE == "flat" else "vmap")
             jax.block_until_ready(out.optimized)
     else:
         def run_all():

@@ -63,13 +63,19 @@ class SequenceOptimizer:
             jnp.asarray(chunk.heatmaps),
             jnp.asarray(chunk.gt_global))
 
-    def optimize_chunks_batched(self, chunks: list[TestChunk]):
-        """Optimize a batch of equal-length chunks in ONE device launch,
-        sharding the chunk axis across all available devices.
+    def optimize_chunks_batched(self, chunks: list[TestChunk],
+                                mode: str = "vmap"):
+        """Optimize a batch of equal-length chunks in ONE device launch.
+
+        mode='vmap': the whole pipeline vmapped over the chunk axis — the
+        chunk axis shards across available devices (multi-chip path).
+        mode='flat': all chunks' windows concatenated into one flat solver
+        batch — fastest single-chip mode (amortizes the latency-bound
+        objective evals; see solver_floor.json).
 
         Returns a ChunkResult whose arrays have a leading chunk axis."""
         from globalegomocap_tpu.optimize.pipeline import (
-            optimize_chunks_batched)
+            optimize_chunks_batched, optimize_chunks_flat)
         from globalegomocap_tpu.parallel.mesh import (
             make_mesh, replicate, shard_batch)
 
@@ -79,13 +85,16 @@ class SequenceOptimizer:
         gt = jnp.stack([jnp.asarray(c.gt_global) for c in chunks])
 
         n_dev = len(jax.devices())
-        key = ("batched", est.shape, n_dev)
+        key = ("batched", mode, est.shape, n_dev)
         if key not in self._jit_cache:
+            pipeline_fn = (optimize_chunks_flat if mode == "flat"
+                           else optimize_chunks_batched)
+
             def run(lv, gv, est, cams, heat, gt):
-                return optimize_chunks_batched(
-                    self.model, lv, gv, est, cams, heat, gt,
-                    self._camera, self.cfg)
-            if n_dev > 1 and len(chunks) % n_dev == 0:
+                return pipeline_fn(self.model, lv, gv, est, cams, heat,
+                                   gt, self._camera, self.cfg)
+
+            if mode == "vmap" and n_dev > 1 and len(chunks) % n_dev == 0:
                 mesh = make_mesh()
                 repl = replicate(mesh)
                 sh = shard_batch(mesh)

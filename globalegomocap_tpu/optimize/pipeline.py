@@ -212,6 +212,87 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
     return merged
 
 
+def optimize_chunks_flat(model: ConvVAE, local_variables,
+                         global_variables, estimated_local, camera_seq,
+                         heatmap_seq, gt_seq,
+                         camera: fisheye.FisheyeParams,
+                         cfg: OptimizeConfig) -> ChunkResult:
+    """Optimize many equal-length chunks with the window axes of ALL chunks
+    CONCATENATED into one flat solver batch.
+
+    The objective evaluation is latency-bound (solver_floor.json: a
+    value-only eval costs nearly as much as value+grad), so fewer, larger
+    solver launches amortize the per-iteration op latency better than
+    per-chunk launches or a chunk-vmapped pipeline.  All arrays carry a
+    leading chunk axis (C, N, ...); returns a ChunkResult with (C, covered,
+    15, 3) arrays, identical semantics to the per-chunk path.
+    """
+    assert cfg.energy.overlap_consistency == 0.0, \
+        "flat mode concatenates windows across chunks; the cross-window " \
+        "coupling term would wrongly couple chunk boundaries — use " \
+        "optimize_chunk/optimize_chunks_batched for joint solving"
+    c = estimated_local.shape[0]
+    seq_len, stride = cfg.window.seq_len, cfg.window.stride
+    local_w, global_w = stage_weights(cfg)
+
+    def windows_of(x):
+        return jax.vmap(lambda s: slice_windows(s, seq_len, stride))(x)
+
+    win_local = windows_of(estimated_local)          # (C, W, T, 15, 3)
+    win_cam = windows_of(camera_seq)
+    win_gt = windows_of(gt_seq)
+    win_heat = jnp.moveaxis(windows_of(heatmap_seq), -1, 3)
+    w_per = win_local.shape[1]
+
+    bl = jax.vmap(mean_bone_lengths)(estimated_local)     # (C, 15)
+    bl_flat = jnp.repeat(bl, w_per, axis=0)               # (C*W, 15)
+
+    def flat(x):
+        return x.reshape((c * w_per,) + x.shape[2:])
+
+    f_local, f_cam, f_heat = flat(win_local), flat(win_cam), flat(win_heat)
+
+    use_reproj = cfg.energy.reproj != 0.0
+    mid_local = optimize_stage(model, local_variables, f_local, f_heat,
+                               bl_flat, camera, local_w, use_reproj, cfg)
+
+    est_rel = relative_global_pose(f_local, f_cam)
+    mid_rel = relative_global_pose(mid_local, f_cam)
+    cam0 = f_cam[:, 0]
+    est_world = relative_to_global_pose(est_rel, cam0)
+    mid_world = relative_to_global_pose(mid_rel, cam0)
+
+    opt_rel = optimize_stage(model, global_variables, mid_rel, f_heat,
+                             bl_flat, camera, global_w, False, cfg)
+    opt_world = relative_to_global_pose(opt_rel, cam0)
+
+    def unflat_merge(x):
+        per_chunk = x.reshape((c, w_per) + x.shape[1:])
+        return jax.vmap(lambda wnd: merge_windows(wnd, stride))(per_chunk)
+
+    merged = ChunkResult(
+        estimated=unflat_merge(est_world),
+        mid=unflat_merge(mid_world),
+        mid_local=unflat_merge(mid_local),
+        optimized=unflat_merge(opt_world),
+        gt=jax.vmap(lambda wnd: merge_windows(wnd, stride))(win_gt),
+    )
+    if cfg.final_smooth:
+        if cfg.final_smooth_method == "one_euro":
+            from globalegomocap_tpu.ops.filtering import one_euro_filter
+            n = merged.optimized.shape[1]
+            ts = jnp.arange(1, n + 1,
+                            dtype=merged.optimized.dtype) / 25.0
+            smoothed = jax.vmap(lambda s: one_euro_filter(ts, s))(
+                merged.optimized)
+        else:
+            smoothed = jax.vmap(
+                lambda s: gaussian_filter1d(s, cfg.final_smooth_sigma,
+                                            axis=0))(merged.optimized)
+        merged = merged._replace(optimized=smoothed)
+    return merged
+
+
 def optimize_chunks_batched(model: ConvVAE, local_variables,
                             global_variables, estimated_local, camera_seq,
                             heatmap_seq, gt_seq,

@@ -58,6 +58,22 @@ def test_batched_multi_chunk(optimizer):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_flat_multi_chunk_matches_per_chunk(optimizer):
+    """The flat (concatenated window batch) mode must produce the same
+    results as per-chunk optimization — the window problems are identical,
+    only the launch granularity differs (solver trajectories coincide
+    because the fixed solver's control flow is per-lane)."""
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    chunks = [synthetic_chunk(n_frames=26, seed=s) for s in (21, 22, 23)]
+    flat = optimizer.optimize_chunks_batched(chunks, mode="flat")
+    assert flat.optimized.shape == (3, 26, 15, 3)
+    for i, c in enumerate(chunks):
+        single = optimizer.optimize_chunk(c)
+        np.testing.assert_allclose(np.asarray(flat.optimized[i]),
+                                   np.asarray(single.optimized),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_optimize_sequence_dir(seq_dir, optimizer, capsys):
     errors, averages, timing = optimize_sequence_dir(optimizer, seq_dir)
     assert len(errors) == 3
