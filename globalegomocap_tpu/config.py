@@ -84,6 +84,9 @@ class OptimizeConfig:
     heatmap: HeatmapGeometry = field(default_factory=HeatmapGeometry)
     camera: str = "egosyn"          # built-in name or a calibration path
     sampling_impl: str = "gather"   # heatmap sampling: 'gather' | 'dense'
+    # fold eval-mode BatchNorm into the conv weights (exact; removes the
+    # runtime BN ops from every latency-bound objective eval)
+    fold_bn: bool = False
     final_smooth: bool = True
     final_smooth_sigma: float = 1.0
     # 'gaussian' (reference behaviour, optimizer.py:448-450) or 'one_euro'

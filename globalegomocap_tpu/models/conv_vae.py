@@ -58,16 +58,25 @@ class BaseVAE(Protocol):
 
 
 class ConvBNAct(nn.Module):
-    """Conv1d -> BatchNorm -> LeakyReLU block (channels-last)."""
+    """Conv1d -> BatchNorm -> LeakyReLU block (channels-last).
+
+    use_bn=False skips the BatchNorm call entirely — used with
+    `models.fold_bn.fold_batchnorm`-ed variables at optimization time,
+    where BN is a frozen affine map that folds exactly into the conv (the
+    objective evaluation is op-latency-bound, so removing the runtime BN
+    op matters; XLA cannot eliminate it itself because the BN parameters
+    are runtime inputs, not literals)."""
     features: int
     dtype: Any = jnp.float32
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         x = nn.Conv(self.features, kernel_size=(3,), strides=(1,),
                     padding="SAME", dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        if self.use_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.leaky_relu(x, negative_slope=0.01)
 
 
@@ -87,10 +96,13 @@ class ConvVAE(nn.Module):
     hidden_dims: Sequence[int] = (64, 64, 128, 256, 512)
     with_bone_length: bool = False
     dtype: Any = jnp.float32
+    # False = BN structurally skipped (pair with fold_batchnorm'd variables)
+    use_bn: bool = True
 
     def setup(self):
         self.encoder_blocks = [
-            ConvBNAct(h, dtype=self.dtype, name=f"enc_{i}")
+            ConvBNAct(h, dtype=self.dtype, use_bn=self.use_bn,
+                      name=f"enc_{i}")
             for i, h in enumerate(self.hidden_dims)
         ]
         self.fc_mu = nn.Dense(self.latent_dim, dtype=self.dtype)
@@ -109,10 +121,12 @@ class ConvVAE(nn.Module):
         self.decoder_input = nn.Dense(rev[0] * self.seq_len,
                                       dtype=self.dtype)
         self.decoder_blocks = [
-            ConvBNAct(rev[i + 1], dtype=self.dtype, name=f"dec_{i}")
+            ConvBNAct(rev[i + 1], dtype=self.dtype, use_bn=self.use_bn,
+                      name=f"dec_{i}")
             for i in range(len(rev) - 1)
         ]
         self.final_block = ConvBNAct(rev[-1], dtype=self.dtype,
+                                     use_bn=self.use_bn,
                                      name="final_block")
         self.final_conv = nn.Conv(self.out_channels, kernel_size=(3,),
                                   padding="SAME", dtype=self.dtype,

@@ -51,6 +51,11 @@ class SequenceOptimizer:
 
     def __post_init__(self):
         self._camera = resolve_camera(self.cfg)
+        if self.cfg.fold_bn and getattr(self.model, "use_bn", True):
+            from globalegomocap_tpu.models.fold_bn import fold_batchnorm
+            self.local_variables = fold_batchnorm(self.local_variables)
+            self.global_variables = fold_batchnorm(self.global_variables)
+            self.model = self.model.clone(use_bn=False)
         self._jitted = make_chunk_optimizer(self.model, self.cfg,
                                             self._camera)
         self._jit_cache = {}
