@@ -28,6 +28,7 @@ FRAMES_PER_CHUNK = 100
 # quality tests (see perf_sweep.json + tests/test_e2e_quality.py)
 SOLVER = os.environ.get("BENCH_SOLVER", "lbfgs_fixed")
 SAMPLING = os.environ.get("BENCH_SAMPLING", "gather")
+FOLD_BN = os.environ.get("BENCH_FOLD_BN", "0") == "1"
 # 'flat' (one concatenated solver batch, fastest single-chip) | 'serial'
 # (per-chunk launches) | 'batched' (chunk-vmapped, the multi-chip path)
 MODE = os.environ.get("BENCH_MODE", "flat")
@@ -62,6 +63,7 @@ def main():
         prior=PriorConfig(latent_dim=2048, seq_len=10),
         solver=SolverConfig(method=SOLVER),
         sampling_impl=SAMPLING,
+        fold_bn=FOLD_BN,
     )
     model = build_model(cfg)
     x0 = jnp.zeros((1, 10, 45))

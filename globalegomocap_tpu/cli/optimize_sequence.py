@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write result_pose.pkl per chunk (reference:"
                         " optimizer.py:469-483)")
     p.add_argument("--final_smooth", default=True, type=str2bool)
+    p.add_argument("--final_smooth_method", default="gaussian",
+                   choices=["gaussian", "one_euro"])
+    p.add_argument("--fold_bn", default=False, type=str2bool,
+                   help="fold eval-mode BatchNorm into conv weights")
+    p.add_argument("--overlap_consistency", default=0.0, type=float,
+                   help="cross-window coupling weight (joint "
+                        "whole-sequence solve when > 0)")
     p.add_argument("--merge", default=True, type=str2bool)
     p.add_argument("--local_ckpt", required=True, type=str)
     p.add_argument("--global_ckpt", required=True, type=str)
@@ -83,14 +90,17 @@ def main(argv=None):
         energy=EnergyConfig(vae=args.vae, gmm=args.gmm, smooth=args.smooth,
                             bone_length=args.bone_length,
                             weight_3d=args.weight_3d,
-                            reproj=args.reproj_weight),
+                            reproj=args.reproj_weight,
+                            overlap_consistency=args.overlap_consistency),
         prior=PriorConfig(latent_dim=args.latent_dim, seq_len=args.seq_len,
                           hidden_dims=tuple(
                               int(x) for x in args.hidden_dims.split(","))),
         solver=SolverConfig(method=args.solver),
         sampling_impl=args.sampling,
+        fold_bn=args.fold_bn,
         camera=args.camera,
         final_smooth=args.final_smooth,
+        final_smooth_method=args.final_smooth_method,
         merge=args.merge,
     )
     model = build_model(cfg)
