@@ -28,7 +28,8 @@ FRAMES_PER_CHUNK = 100
 # quality tests (see perf_sweep.json + tests/test_e2e_quality.py)
 SOLVER = os.environ.get("BENCH_SOLVER", "lbfgs_fixed")
 SAMPLING = os.environ.get("BENCH_SAMPLING", "gather")
-FOLD_BN = os.environ.get("BENCH_FOLD_BN", "0") == "1"
+# BN folding is exact for eval-mode inference (tests/test_fold_bn.py)
+FOLD_BN = os.environ.get("BENCH_FOLD_BN", "1") == "1"
 # 'flat' (one concatenated solver batch, fastest single-chip) | 'serial'
 # (per-chunk launches) | 'batched' (chunk-vmapped, the multi-chip path)
 MODE = os.environ.get("BENCH_MODE", "flat")
