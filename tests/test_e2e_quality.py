@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 
 from globalegomocap_tpu.config import (
-    OptimizeConfig, SolverConfig, PriorConfig, TrainConfig, EnergyConfig)
+    OptimizeConfig, SolverConfig, PriorConfig, TrainConfig, EnergyConfig,
+    with_overrides)
 from globalegomocap_tpu.data.amass import AmassWindows
 from globalegomocap_tpu.data.synthetic import synthetic_amass, synthetic_chunk
 from globalegomocap_tpu.models.conv_vae import ConvVAE
@@ -75,6 +76,39 @@ class TestEndToEndQuality:
             errors["original_global_mpjpe"], errors
         # sanity: starting error is the noise level
         assert 0.01 < errors["original_global_mpjpe"] < 0.1
+
+    def test_production_config_quality(self, trained_priors):
+        """The exact benchmark configuration (fixed solver + gather
+        sampling + BN folding + flat multi-chunk batch) must match the
+        plain configuration's quality."""
+        local_vars, global_vars, *_ = trained_priors
+        chunks = [synthetic_chunk(n_frames=40, seed=31 + i,
+                                  noise_std=0.03) for i in range(2)]
+
+        base_cfg = OptimizeConfig(
+            prior=PRIOR,
+            solver=SolverConfig(method="lbfgs_fixed", max_iter=20,
+                                history_size=20))
+        prod_cfg = with_overrides(base_cfg, fold_bn=True)
+
+        from globalegomocap_tpu.evaluation.metrics import calculate_errors
+
+        def quality(cfg, flat):
+            model = build_model(cfg)
+            opt = SequenceOptimizer(model, local_vars, global_vars, cfg)
+            if flat:
+                res = opt.optimize_chunks_batched(chunks, mode="flat")
+                errs = [calculate_errors(res.estimated[i], res.mid[i],
+                                         res.optimized[i], res.gt[i])
+                        for i in range(len(chunks))]
+            else:
+                errs = [opt.run(c)[0] for c in chunks]
+            return float(np.mean([e["aligned_optimized_mpjpe"]
+                                  for e in errs]))
+
+        plain = quality(base_cfg, flat=False)
+        prod = quality(prod_cfg, flat=True)
+        assert prod < plain * 1.05 + 1e-4, (prod, plain)
 
     def test_fixed_solver_matches_adaptive_quality(self, trained_priors):
         """The TPU-fast fixed-iteration solver must achieve the same
