@@ -33,6 +33,10 @@ FOLD_BN = os.environ.get("BENCH_FOLD_BN", "1") == "1"
 # 'flat' (one concatenated solver batch, fastest single-chip) | 'serial'
 # (per-chunk launches) | 'batched' (chunk-vmapped, the multi-chip path)
 MODE = os.environ.get("BENCH_MODE", "flat")
+# decoder as a banded-matmul chain (exact; fewer kernels per objective
+# eval — see models/dense_decoder.py and tests/test_dense_decoder.py);
+# measured 529 vs 504 windows/s on 1x v5e, so default ON
+DENSE_DECODER = os.environ.get("BENCH_DENSE_DECODER", "1") == "1"
 
 # torch-CPU reference-equivalent baseline (windows/sec, two stages), as
 # measured by scripts/measure_torch_baseline.py on this machine; see
@@ -65,6 +69,7 @@ def main():
         solver=SolverConfig(method=SOLVER),
         sampling_impl=SAMPLING,
         fold_bn=FOLD_BN,
+        dense_decoder=DENSE_DECODER,
     )
     model = build_model(cfg)
     x0 = jnp.zeros((1, 10, 45))

@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["gaussian", "one_euro"])
     p.add_argument("--fold_bn", default=False, type=str2bool,
                    help="fold eval-mode BatchNorm into conv weights")
+    p.add_argument("--dense_decoder", default=False, type=str2bool,
+                   help="run the decoder as a banded-matmul chain (exact; "
+                        "fewer kernels per objective eval)")
     p.add_argument("--overlap_consistency", default=0.0, type=float,
                    help="cross-window coupling weight (joint "
                         "whole-sequence solve when > 0)")
@@ -98,6 +101,7 @@ def main(argv=None):
         solver=SolverConfig(method=args.solver),
         sampling_impl=args.sampling,
         fold_bn=args.fold_bn,
+        dense_decoder=args.dense_decoder,
         camera=args.camera,
         final_smooth=args.final_smooth,
         final_smooth_method=args.final_smooth_method,

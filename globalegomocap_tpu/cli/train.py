@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="devices for data parallelism (0 = all)")
     p.add_argument("--hdf5", default=False, type=str2bool,
                    help="train_data_path is a packed HDF5 file")
+    p.add_argument("--hdf5_stream", default=False, type=str2bool,
+                   help="stream batches from the HDF5 file instead of "
+                        "materializing all windows (AMASS scale)")
+    p.add_argument("--checkpoint_format", default="msgpack",
+                   choices=["msgpack", "orbax"])
     return p
 
 
@@ -79,7 +84,19 @@ def main(argv=None):
         log_step=args.log_step, num_devices=args.num_devices)
 
     names = load_mo2cap2_names(args.with_mo2cap2_names)
-    if args.hdf5:
+    if args.hdf5_stream:
+        from globalegomocap_tpu.data.hdf5 import HDF5WindowStream
+        probe = HDF5WindowStream(args.train_data_path,
+                                 local_pose=args.local_pose)
+        n_test = max(1, len(probe) // 20)
+        probe.close()
+        train_ds = HDF5WindowStream(args.train_data_path,
+                                    local_pose=args.local_pose,
+                                    stop=-n_test)
+        test_ds = HDF5WindowStream(args.train_data_path,
+                                   local_pose=args.local_pose,
+                                   start=-n_test)
+    elif args.hdf5:
         from globalegomocap_tpu.data.hdf5 import load_hdf5_windows
         full = load_hdf5_windows(args.train_data_path,
                                  local_pose=args.local_pose)
@@ -107,7 +124,8 @@ def main(argv=None):
     log_dir = args.log_dir or datetime.datetime.now().strftime(
         "%m.%d-%H.%M.%S")
     ckpt_dir = os.path.join("logs", log_dir, "checkpoints")
-    trainer.train(checkpoint_dir=ckpt_dir)
+    trainer.train(checkpoint_dir=ckpt_dir,
+                  checkpoint_format=args.checkpoint_format)
     return trainer
 
 

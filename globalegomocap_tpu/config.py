@@ -87,6 +87,10 @@ class OptimizeConfig:
     # fold eval-mode BatchNorm into the conv weights (exact; removes the
     # runtime BN ops from every latency-bound objective eval)
     fold_bn: bool = False
+    # run the decoder as a banded-matmul chain (one MXU matmul per layer
+    # instead of conv+bias+activation kernels; exact re-association of the
+    # k=3/stride-1 conv stack — see models/dense_decoder.py)
+    dense_decoder: bool = False
     final_smooth: bool = True
     final_smooth_sigma: float = 1.0
     # 'gaussian' (reference behaviour, optimizer.py:448-450) or 'one_euro'

@@ -97,6 +97,80 @@ def load_hdf5_windows(path: str, local_pose: bool = False):
     return AmassWindows(w.reshape(w.shape[0], w.shape[1], 45))
 
 
+class HDF5WindowStream:
+    """Streaming window dataset over a packed HDF5 file — the epoch_batches
+    protocol of AmassWindows without materializing the windows in RAM.
+
+    Shuffling is two-level (shuffled slab order x in-slab permutation): each
+    epoch reads contiguous `slab_size`-row slabs in random order — fast
+    sequential HDF5 IO — and permutes rows within the slab, carrying
+    leftovers across slab boundaries so batch composition still mixes slabs.
+    This is the AMASS-scale loader the materializing AmassWindows can't be
+    (reference: networks/make_dataset.py packs HDF5 but its dataset classes
+    still load everything, networks/dataset/global_dataset.py:29-60).
+    """
+
+    def __init__(self, path: str, local_pose: bool = False,
+                 slab_size: int = 4096, start: int = 0,
+                 stop: int | None = None):
+        import h5py
+        self.path = path
+        self.key = "local_pose" if local_pose else "relative_global_pose"
+        self.slab_size = int(slab_size)
+        try:
+            self._file = h5py.File(path, "r")
+        except OSError as e:
+            raise OSError(
+                f"{path} is not a readable HDF5 window file (expected the "
+                f"pack_amass_dir format with a {self.key!r} dataset): {e}"
+            ) from e
+        if self.key not in self._file:
+            raise KeyError(
+                f"{path} has no {self.key!r} dataset; datasets present: "
+                f"{list(self._file)}")
+        self._dset = self._file[self.key]
+        n = int(self._dset.shape[0])
+        self.start = max(0, start if start >= 0 else n + start)
+        self.stop = n if stop is None else min(n, stop if stop >= 0
+                                               else n + stop)
+
+    def __len__(self) -> int:
+        return max(0, self.stop - self.start)
+
+    def close(self):
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+    def _read_slab(self, offset: int) -> np.ndarray:
+        lo = self.start + offset
+        hi = min(lo + self.slab_size, self.stop)
+        block = np.asarray(self._dset[lo:hi], dtype=np.float32)
+        return block.reshape(block.shape[0], block.shape[1], -1)
+
+    def epoch_batches(self, rng: np.random.Generator, batch_size: int,
+                      drop_last: bool = True, shuffle: bool = True):
+        starts = np.arange(0, len(self), self.slab_size)
+        if shuffle:
+            starts = rng.permutation(starts)
+        pending = None
+        for s in starts:
+            block = self._read_slab(int(s))
+            if shuffle:
+                block = block[rng.permutation(len(block))]
+            if pending is not None:
+                block = np.concatenate([pending, block])
+                pending = None
+            n_full = len(block) // batch_size
+            for i in range(n_full):
+                yield block[i * batch_size:(i + 1) * batch_size]
+            rem = len(block) - n_full * batch_size
+            if rem:
+                pending = block[-rem:]
+        if pending is not None and not drop_last:
+            yield pending
+
+
 def interpolate_frames(sequence: np.ndarray, factor: int = 5) -> np.ndarray:
     """Linear temporal upsampling (reference: make_dataset.py:76-86)."""
     a = sequence[:-1]

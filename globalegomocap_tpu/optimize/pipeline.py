@@ -91,9 +91,19 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     # optimizer.py:257 — mu-init removes that nondeterminism, SURVEY §7)
     mu, _ = model.apply(variables, flat, False, method=ConvVAE.encode)
 
+    if cfg.dense_decoder:
+        # decoder as a banded-matmul chain: fewer kernels per objective
+        # eval, which is the binding constraint (solver_floor.json)
+        from globalegomocap_tpu.models.dense_decoder import (
+            make_dense_decoder)
+        decode_batch = make_dense_decoder(model, variables)
+    else:
+        def decode_batch(z):
+            return model.apply(variables, z, False,
+                               method=ConvVAE.decode_to_bodypose)
+
     def decode(z):
-        return model.apply(variables, z[None], False,
-                           method=ConvVAE.decode_to_bodypose)[0]
+        return decode_batch(z[None])[0]
 
     if cfg.solver.remat:
         decode = jax.checkpoint(decode)
@@ -117,9 +127,7 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
 
         def decode_all(z_flat):
             z = z_flat.reshape(w, latent)
-            return model.apply(variables, z, False,
-                               method=ConvVAE.decode_to_bodypose
-                               ).astype(jnp.float32)
+            return decode_batch(z).astype(jnp.float32)
 
         if cfg.solver.remat:
             decode_all = jax.checkpoint(decode_all)
@@ -138,9 +146,7 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     else:
         z_star = jax.vmap(solve_one)(mu, init_pose, heatmaps, mean_bl)
 
-    out = model.apply(variables, z_star, False,
-                      method=ConvVAE.decode_to_bodypose)
-    return out
+    return decode_batch(z_star)
 
 
 def optimize_chunk(model: ConvVAE, local_variables, global_variables,

@@ -71,3 +71,79 @@ class StreamingOptimizer:
         for c in chunks:
             self.submit(c)
         return self.drain()
+
+
+class MultiStreamOptimizer:
+    """Serve MANY concurrent sequences over one compiled program.
+
+    Each stream is a named sequence of chunks with a priority; pending
+    chunks across all streams sit in one priority queue (higher priority
+    first, FIFO within a priority), and the scheduler keeps at most
+    `max_in_flight` device launches outstanding.  Per-stream result order
+    is submission order.  There is no reference equivalent — the reference
+    processes one sequence at a time end-to-end; this is the production
+    serving runtime for multiple simultaneous capture sessions.
+    """
+
+    def __init__(self, optimizer: SequenceOptimizer,
+                 max_in_flight: int = 2):
+        import heapq  # noqa: F401  (documented dependency)
+        self.optimizer = optimizer
+        self.max_in_flight = max_in_flight
+        self._pending: list = []           # heap of (-prio, seq, name, chunk)
+        self._seq = 0
+        self._priorities: dict[str, int] = {}
+        self._in_flight: collections.deque = collections.deque()
+        self._completed: dict[str, list[ChunkResult]] = {}
+        self.dispatch_order: list[str] = []   # stream name per dispatch
+        self.meter = ThroughputMeter(unit="chunks")
+        self._t_first: float | None = None
+
+    def open_stream(self, name: str, priority: int = 0) -> None:
+        if name in self._priorities:
+            raise ValueError(f"stream {name!r} already open")
+        self._priorities[name] = priority
+        self._completed[name] = []
+
+    def submit(self, name: str, chunk: TestChunk) -> None:
+        """Enqueue a chunk on an open stream.  Never blocks: chunks beyond
+        the in-flight capacity wait in the priority queue and dispatch as
+        slots free up (highest priority first)."""
+        import heapq
+        if name not in self._priorities:
+            raise KeyError(f"unknown stream {name!r}; open_stream first")
+        if self._t_first is None:
+            self._t_first = time.perf_counter()
+        heapq.heappush(self._pending,
+                       (-self._priorities[name], self._seq, name, chunk))
+        self._seq += 1
+        self._pump()
+
+    def _pump(self) -> None:
+        """Dispatch pending chunks into free in-flight slots, highest
+        priority first (FIFO within a priority)."""
+        import heapq
+        while self._pending and len(self._in_flight) < self.max_in_flight:
+            _, _, name, chunk = heapq.heappop(self._pending)
+            self.dispatch_order.append(name)
+            self._in_flight.append(
+                (name, self.optimizer.optimize_chunk(chunk)))
+
+    def _finish_oldest(self) -> None:
+        name, result = self._in_flight.popleft()
+        jax.block_until_ready(result.optimized)
+        self._completed[name].append(result)
+        self.meter.total_units += 1
+
+    def drain(self) -> dict[str, list[ChunkResult]]:
+        """Wait for everything; return {stream: results in submission
+        order} and reset queues (streams stay open)."""
+        while self._in_flight or self._pending:
+            self._finish_oldest()
+            self._pump()
+        if self._t_first is not None:
+            self.meter.total_seconds += time.perf_counter() - self._t_first
+        out = self._completed
+        self._completed = {k: [] for k in self._priorities}
+        self._t_first = None
+        return out

@@ -97,7 +97,12 @@ def make_eval_step(model: ConvVAE):
 
 
 class Trainer:
-    """End-to-end trainer over materialized AMASS windows."""
+    """End-to-end trainer over window datasets.
+
+    train_ds/test_ds are duck-typed: anything with `__len__` and
+    `epoch_batches(rng, batch_size, drop_last=..., shuffle=...)` —
+    materialized AmassWindows or the streaming HDF5WindowStream
+    (data/hdf5.py) for AMASS-scale corpora that don't fit in RAM."""
 
     def __init__(self, cfg: TrainConfig, train_ds: AmassWindows,
                  test_ds: AmassWindows, model: ConvVAE | None = None):
@@ -143,7 +148,8 @@ class Trainer:
     def _device_batch(self, batch: np.ndarray) -> jnp.ndarray:
         return jax.device_put(jnp.asarray(batch), self._batch_sh)
 
-    def train(self, log_fn=print, checkpoint_dir: str | None = None):
+    def train(self, log_fn=print, checkpoint_dir: str | None = None,
+              checkpoint_format: str = "msgpack"):
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed + 1)
         np_rng = np.random.default_rng(cfg.seed + 2)
@@ -151,8 +157,10 @@ class Trainer:
         running = {"loss": 0.0, "recon_loss": 0.0}
         for epoch in range(cfg.epochs):
             t0 = time.perf_counter()
+            epoch_steps = 0
             for batch in self.train_ds.epoch_batches(np_rng,
                                                      cfg.batch_size):
+                epoch_steps += 1
                 self.state, metrics = self._train_step(
                     self.state, self._device_batch(batch), rng)
                 running["loss"] += float(metrics["loss"])
@@ -164,13 +172,18 @@ class Trainer:
                            f"{running['recon_loss']:.5f}")
                     self.history.append({"step": count, **running})
                     running = {"loss": 0.0, "recon_loss": 0.0}
+            if epoch_steps == 0:
+                log_fn(f"WARNING: epoch {epoch} ran 0 steps — batch_size "
+                       f"({cfg.batch_size}) exceeds the dataset "
+                       f"({len(self.train_ds)} windows) with drop_last")
             eval_mpjpe = self.evaluate()
             dt = time.perf_counter() - t0
             log_fn(f"epoch {epoch}: eval reconstruction MPJPE "
                    f"{eval_mpjpe:.5f}  ({dt:.1f}s)")
             self.history.append({"epoch": epoch, "eval_mpjpe": eval_mpjpe})
             if checkpoint_dir:
-                self.save_checkpoint(checkpoint_dir, epoch, eval_mpjpe)
+                self.save_checkpoint(checkpoint_dir, epoch, eval_mpjpe,
+                                     fmt=checkpoint_format)
         return self.state
 
     def evaluate(self) -> float:
@@ -196,22 +209,32 @@ class Trainer:
         return total / count if count else float("nan")
 
     def save_checkpoint(self, directory: str, epoch: int,
-                        eval_result: float):
+                        eval_result: float, fmt: str = "msgpack"):
         """Epoch checkpoint with the reference's payload shape
         ({'epoch','args','state_dict'-equivalent,'eval_result','optimizer'},
-        networks/train.py:102-108) serialized via flax msgpack."""
-        from flax import serialization
+        networks/train.py:102-108).  fmt='msgpack' writes one flax msgpack
+        file; fmt='orbax' writes an async-capable Orbax directory (the
+        TPU-production format)."""
         os.makedirs(directory, exist_ok=True)
         state_host = jax.device_get(self.state)
-        blob = serialization.to_bytes({
+        payload = {
             "params": state_host.params,
             "batch_stats": state_host.batch_stats,
             "opt_state": state_host.opt_state,
             "step": state_host.step,
-        })
-        path = os.path.join(directory, f"{epoch}.msgpack")
-        with open(path, "wb") as f:
-            f.write(blob)
+        }
+        if fmt == "orbax":
+            import orbax.checkpoint as ocp
+            path = os.path.join(os.path.abspath(directory), f"{epoch}.orbax")
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, payload)
+            ckptr.wait_until_finished()
+        else:
+            from flax import serialization
+            blob = serialization.to_bytes(payload)
+            path = os.path.join(directory, f"{epoch}.msgpack")
+            with open(path, "wb") as f:
+                f.write(blob)
         meta = {"epoch": epoch + 1, "eval_result": eval_result,
                 "args": {k: getattr(self.cfg, k)
                          for k in self.cfg.__dataclass_fields__
@@ -222,17 +245,23 @@ class Trainer:
         return path
 
     def load_checkpoint(self, path: str):
-        """Resume training state from an epoch checkpoint — the
-        resume path the reference lacks (SURVEY.md §5 checkpoint/resume)."""
-        from flax import serialization
-        with open(path, "rb") as f:
-            blob = f.read()
+        """Resume training state from an epoch checkpoint (msgpack file or
+        Orbax directory) — the resume path the reference lacks
+        (SURVEY.md §5 checkpoint/resume)."""
         state_host = jax.device_get(self.state)
         target = {"params": state_host.params,
                   "batch_stats": state_host.batch_stats,
                   "opt_state": state_host.opt_state,
                   "step": state_host.step}
-        restored = serialization.from_bytes(target, blob)
+        if os.path.isdir(path):
+            import orbax.checkpoint as ocp
+            ckptr = ocp.StandardCheckpointer()
+            restored = ckptr.restore(os.path.abspath(path), target=target)
+        else:
+            from flax import serialization
+            with open(path, "rb") as f:
+                blob = f.read()
+            restored = serialization.from_bytes(target, blob)
         self.state = jax.device_put(
             TrainState(step=jnp.asarray(restored["step"]),
                        params=restored["params"],

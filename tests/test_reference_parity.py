@@ -29,7 +29,10 @@ from globalegomocap_tpu.optimize.lbfgs import lbfgs_minimize
 
 LATENT = 64
 HIDDEN = (16, 16, 32, 32, 64)
+# the reference's stage-1 (local) weight split, optimizer.py:355-358
 WEIGHTS = dict(w3d=0.01 / 1e4, smooth=0.001 / 100, bone=0.01, reproj=0.01)
+# the reference's stage-2 (global) split: reprojection off, optimizer.py:352-353
+WEIGHTS_GLOBAL = dict(w3d=0.01, smooth=0.001, bone=0.01, reproj=0.0)
 
 
 @pytest.fixture(scope="module")
@@ -52,9 +55,11 @@ def setup():
     return tmodel, variables, anchor, heat, mean_bl
 
 
-def torch_stage(tmodel, anchor, heat, mean_bl):
-    """The reference's stage-1: torch LBFGS over the latent with the exact
-    energies (deterministic mu init for comparability)."""
+def torch_stage(tmodel, anchor, heat, mean_bl, weights=WEIGHTS):
+    """The reference's per-stage solve: torch LBFGS over the latent with the
+    exact energies (deterministic mu init for comparability).  weights
+    selects the stage: WEIGHTS = stage-1 local, WEIGHTS_GLOBAL = stage-2
+    global (reprojection weight 0 skips the heatmap term, optimizer.py:352)."""
     import torch
 
     cam_center = np.asarray(fisheye.default_camera("egosyn").center)
@@ -82,14 +87,17 @@ def torch_stage(tmodel, anchor, heat, mean_bl):
         es = torch.sum(acc ** 2)
         bones = pose - pose[:, KINEMATIC_PARENTS, :]
         eb = torch.sum((torch.norm(bones, dim=-1) - t_bl) ** 2)
-        p2d = project(pose.reshape(-1, 3))
-        p2d = torch.stack([p2d[:, 0] - 128.0, p2d[:, 1]], 1)
-        grid = ((p2d - 512.0) / 512.0).view(-1, 1, 1, 2)
-        heat_s = torch.nn.functional.grid_sample(t_heat, grid,
-                                                 align_corners=True)
-        er = -torch.sum(heat_s)
-        return (WEIGHTS["w3d"] * e3d + WEIGHTS["smooth"] * es
-                + WEIGHTS["bone"] * eb + WEIGHTS["reproj"] * er)
+        if weights["reproj"] != 0.0:
+            p2d = project(pose.reshape(-1, 3))
+            p2d = torch.stack([p2d[:, 0] - 128.0, p2d[:, 1]], 1)
+            grid = ((p2d - 512.0) / 512.0).view(-1, 1, 1, 2)
+            heat_s = torch.nn.functional.grid_sample(t_heat, grid,
+                                                     align_corners=True)
+            er = -torch.sum(heat_s)
+        else:
+            er = torch.zeros(())
+        return (weights["w3d"] * e3d + weights["smooth"] * es
+                + weights["bone"] * eb + weights["reproj"] * er)
 
     with torch.no_grad():
         mu, _ = tmodel.encode(torch.tensor(anchor.reshape(1, 10, 45)))
@@ -110,12 +118,14 @@ def torch_stage(tmodel, anchor, heat, mean_bl):
                 tmodel.decode(z).reshape(10, 15, 3).numpy())
 
 
-def jax_stage(variables, anchor, heat, mean_bl):
+def jax_stage(variables, anchor, heat, mean_bl, stage_weights=WEIGHTS):
     model = ConvVAE(latent_dim=LATENT, seq_len=10, hidden_dims=HIDDEN)
     cam = fisheye.default_camera("egosyn")
+    use_reproj = stage_weights["reproj"] != 0.0
     weights = EnergyWeights.create(
-        weight_3d=WEIGHTS["w3d"], smooth=WEIGHTS["smooth"],
-        bone_length=WEIGHTS["bone"], vae=0.0, reproj=WEIGHTS["reproj"])
+        weight_3d=stage_weights["w3d"], smooth=stage_weights["smooth"],
+        bone_length=stage_weights["bone"], vae=0.0,
+        reproj=stage_weights["reproj"])
 
     j_anchor = jnp.asarray(anchor)
     j_heat = jnp.asarray(heat)
@@ -125,7 +135,7 @@ def jax_stage(variables, anchor, heat, mean_bl):
         pose = model.apply(variables, z[None], False,
                            method=ConvVAE.decode_to_bodypose)[0]
         return total_energy_from_pose(pose, j_anchor, j_bl, j_heat, cam,
-                                      weights, True)
+                                      weights, use_reproj)
 
     mu, _ = model.apply(variables, j_anchor.reshape(1, 10, 45), False,
                         method=ConvVAE.encode)
@@ -148,3 +158,43 @@ def test_stage1_parity(setup):
     # and essentially the same pose (mm-scale agreement)
     mpjpe = np.linalg.norm(pose_jax - pose_torch, axis=-1).mean()
     assert mpjpe < 5e-3, mpjpe
+
+
+def test_stage2_parity(setup):
+    """Stage-2 head-to-head: the GLOBAL weight split (reprojection off) on a
+    relative-global anchor, the exact configuration of the reference's
+    second solve (optimizer.py:352-353, 414-417)."""
+    from globalegomocap_tpu.ops.transforms import relative_global_pose
+
+    tmodel, variables, anchor, heat, mean_bl = setup
+
+    # lift the local anchor to the relative-global frame with the synthetic
+    # chunk's own camera trajectory (the lift itself is covered by
+    # tests/test_ops_geometry.py)
+    chunk = synthetic_chunk(n_frames=12, seed=42, noise_std=0.03)
+    rel = np.asarray(relative_global_pose(
+        jnp.asarray(chunk.estimated_local[:10])[None],
+        jnp.asarray(chunk.camera_poses[:10])[None])[0]).astype(np.float32)
+    rel_bl = np.asarray(mean_bone_lengths(jnp.asarray(rel)))
+
+    f_torch, pose_torch = torch_stage(tmodel, rel, heat, rel_bl,
+                                      weights=WEIGHTS_GLOBAL)
+    f_jax, pose_jax = jax_stage(variables, rel, heat, rel_bl,
+                                stage_weights=WEIGHTS_GLOBAL)
+
+    # we must never be worse; torch's single LBFGS.step terminates at its
+    # tolerance_change and lands measurably above our minimum on this
+    # stage (observed ~2%), so the upper band is looser
+    assert f_jax <= f_torch * 1.02 + 1e-6, (f_jax, f_torch)
+    assert f_torch <= f_jax * 1.05 + 1e-6, (f_jax, f_torch)
+    # without the reprojection term the energy valley is flat in latent
+    # space, so the two solvers may stop at different equally-good latents;
+    # parity is judged on solution QUALITY (SURVEY §7: final MPJPE within
+    # noise, not trajectory): both must sit equally close to the anchor
+    d_jax = np.linalg.norm(pose_jax - rel, axis=-1).mean()
+    d_torch = np.linalg.norm(pose_torch - rel, axis=-1).mean()
+    # 1% relative: the absolute distance is dominated by how well the
+    # (random, untrained) test decoder can represent the anchor at all
+    assert abs(d_jax - d_torch) < 0.01 * max(d_jax, d_torch), \
+        (d_jax, d_torch)
+    assert d_jax <= d_torch * 1.01, (d_jax, d_torch)  # never worse

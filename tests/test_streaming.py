@@ -38,3 +38,52 @@ def test_streaming_matches_direct():
     service.submit(chunks[0])
     again = service.drain()
     assert len(again) == 1
+
+
+def test_multi_stream_priority_scheduling():
+    from globalegomocap_tpu.optimize.streaming import MultiStreamOptimizer
+
+    cfg = OptimizeConfig(
+        prior=PriorConfig(latent_dim=16, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=3,
+                            history_size=3))
+    model = build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    opt = SequenceOptimizer(model, v, v, cfg)
+
+    low = [synthetic_chunk(26, seed=s) for s in (0, 1)]
+    high = [synthetic_chunk(26, seed=s) for s in (2, 3)]
+
+    ms = MultiStreamOptimizer(opt, max_in_flight=1)
+    ms.open_stream("low", priority=0)
+    ms.open_stream("high", priority=5)
+    ms.submit("low", low[0])      # takes the only slot immediately
+    ms.submit("low", low[1])      # queued
+    ms.submit("high", high[0])    # queued, jumps ahead of low[1]
+    ms.submit("high", high[1])
+    results = ms.drain()
+
+    # priority scheduling: the queued high-priority chunks dispatch before
+    # the queued low-priority one
+    assert ms.dispatch_order == ["low", "high", "high", "low"]
+    assert len(results["low"]) == 2 and len(results["high"]) == 2
+
+    # per-stream results are in submission order and exact
+    for stream, chunks in (("low", low), ("high", high)):
+        for chunk, res in zip(chunks, results[stream]):
+            direct = opt.optimize_chunk(chunk)
+            np.testing.assert_array_equal(np.asarray(res.optimized),
+                                          np.asarray(direct.optimized))
+
+    # duplicate open / unknown stream are rejected
+    import pytest
+    with pytest.raises(ValueError):
+        ms.open_stream("low")
+    with pytest.raises(KeyError):
+        ms.submit("nope", low[0])
+
+    # streams stay open after drain
+    ms.submit("high", high[0])
+    again = ms.drain()
+    assert len(again["high"]) == 1 and len(again["low"]) == 0
