@@ -37,6 +37,10 @@ MODE = os.environ.get("BENCH_MODE", "flat")
 # eval — see models/dense_decoder.py and tests/test_dense_decoder.py);
 # measured 529 vs 504 windows/s on 1x v5e, so default ON
 DENSE_DECODER = os.environ.get("BENCH_DENSE_DECODER", "1") == "1"
+# fixed solver: fold the accepted-point value_and_grad into the candidate
+# probe batch (identical trajectory, fewer latency-bound evals);
+# measured 561 vs 529 windows/s on 1x v5e, so default ON
+FUSED_PROBES = os.environ.get("BENCH_FUSED_PROBES", "1") == "1"
 
 # torch-CPU reference-equivalent baseline (windows/sec, two stages), as
 # measured by scripts/measure_torch_baseline.py on this machine; see
@@ -66,7 +70,7 @@ def main():
 
     cfg = OptimizeConfig(
         prior=PriorConfig(latent_dim=2048, seq_len=10),
-        solver=SolverConfig(method=SOLVER),
+        solver=SolverConfig(method=SOLVER, fused_probes=FUSED_PROBES),
         sampling_impl=SAMPLING,
         fold_bn=FOLD_BN,
         dense_decoder=DENSE_DECODER,

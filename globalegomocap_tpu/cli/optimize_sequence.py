@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated encoder channel widths")
     p.add_argument("--solver", default="lbfgs",
                    choices=["lbfgs", "lbfgs_fixed", "adam"])
+    p.add_argument("--fused_probes", default=False, type=str2bool,
+                   help="lbfgs_fixed: fold the accepted-point "
+                        "value_and_grad into the candidate probe batch "
+                        "(identical trajectory, fewer evals)")
     p.add_argument("--sampling", default="gather",
                    choices=["gather", "dense", "pallas"])
     p.add_argument("--out_dir", default="out", type=str)
@@ -98,7 +102,8 @@ def main(argv=None):
         prior=PriorConfig(latent_dim=args.latent_dim, seq_len=args.seq_len,
                           hidden_dims=tuple(
                               int(x) for x in args.hidden_dims.split(","))),
-        solver=SolverConfig(method=args.solver),
+        solver=SolverConfig(method=args.solver,
+                            fused_probes=args.fused_probes),
         sampling_impl=args.sampling,
         fold_bn=args.fold_bn,
         dense_decoder=args.dense_decoder,

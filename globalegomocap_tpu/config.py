@@ -35,6 +35,10 @@ class SolverConfig:
     adam_lr: float = 0.05
     # fixed-solver parallel line search candidates (fractions of lr)
     step_candidates: tuple = (1.0, 0.5, 0.1, 0.02)
+    # fixed solver: evaluate value_and_grad at all candidates in the one
+    # batched call instead of probing values then re-evaluating at the
+    # accepted point (identical trajectory, fewer latency-bound evals)
+    fused_probes: bool = False
     # rematerialize the decoder in the backward pass (trades FLOPs for HBM,
     # for very large window batches)
     remat: bool = False

@@ -355,7 +355,8 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
                          history_size: int = 10,
                          lr: float = 2.0,
                          step_candidates=(1.0, 0.5, 0.1, 0.02),
-                         c1: float = 1e-4) -> LBFGSResult:
+                         c1: float = 1e-4,
+                         fused_probes: bool = False) -> LBFGSResult:
     """L-BFGS with a PARALLEL Armijo line search and fully static control
     flow (lax.scan, no while loops).
 
@@ -373,6 +374,13 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
 
     Runs exactly `max_iter` iterations for every lane — wall-clock is
     deterministic and identical across the batch.
+
+    fused_probes=True evaluates value_and_grad at ALL candidates in the one
+    batched call and selects (f, g) along with the step — removing the
+    separate value_and_grad at the accepted point.  The trajectory is
+    mathematically identical (the objective eval is latency-bound, so one
+    K-wide vg call beats a K-wide value call plus a separate vg call;
+    costs K x the backward FLOPs, which are nearly free at these sizes).
     """
     value_and_grad = jax.value_and_grad(loss_fn)
     dim = x0.shape[-1]
@@ -395,8 +403,11 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
         ts = cands * scale                                   # (K,)
         # one batched probe of all candidates
         xs = x[None] + ts[:, None] * d[None]                 # (K, dim)
-        fs = jax.vmap(loss_fn)(xs)                           # (K,)
-        fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
+        if fused_probes:
+            fs_raw, gs = jax.vmap(value_and_grad)(xs)        # (K,), (K, dim)
+        else:
+            fs_raw = jax.vmap(loss_fn)(xs)                   # (K,)
+        fs = jnp.where(jnp.isfinite(fs_raw), fs_raw, jnp.inf)
 
         armijo = fs <= f + c1 * ts * dphi0
         # largest admissible step; else the best probe; else stay
@@ -409,7 +420,13 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
 
         step_vec = t * d
         x_new = x + step_vec
-        f_new, g_new = value_and_grad(x_new)
+        if fused_probes:
+            # the accepted candidate's value/grad were already computed in
+            # the batched call; a zero step keeps the carried (f, g)
+            f_new = jnp.where(improved, fs[idx], f)
+            g_new = jnp.where(improved, gs[idx], g)
+        else:
+            f_new, g_new = value_and_grad(x_new)
         y = g_new - g
         ys = jnp.dot(y, step_vec)
         do_update = ys > 1e-10
@@ -432,9 +449,10 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
             jnp.zeros((history_size,), bool))
     (x, f, g, *_), _ = jax.lax.scan(step, init,
                                     jnp.arange(max_iter, dtype=jnp.int32))
+    n_evals = max_iter * k + 1 if fused_probes else max_iter * (k + 1) + 1
     return LBFGSResult(x=x, f=f, grad_norm=jnp.max(jnp.abs(g)),
                        n_iter=jnp.asarray(max_iter),
-                       n_evals=jnp.asarray(max_iter * (k + 1) + 1))
+                       n_evals=jnp.asarray(n_evals))
 
 
 def adam_minimize(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],

@@ -65,7 +65,8 @@ def _solve(cfg: OptimizeConfig, loss, z0):
     if s.method == "lbfgs_fixed":
         return lbfgs_minimize_fixed(
             loss, z0, max_iter=s.max_iter, history_size=s.history_size,
-            lr=s.lr, step_candidates=tuple(s.step_candidates)).x
+            lr=s.lr, step_candidates=tuple(s.step_candidates),
+            fused_probes=s.fused_probes).x
     return lbfgs_minimize(
         loss, z0, max_iter=s.max_iter, history_size=s.history_size,
         lr=s.lr, tolerance_change=s.tolerance_change,

@@ -53,11 +53,25 @@ def main():
     n_win = win.shape[0]
     print(f"windows: {n_win}", flush=True)
 
+    dense = os.environ.get("SOLVER_FLOOR_DENSE", "0") == "1"
+    if dense:
+        from globalegomocap_tpu.models.dense_decoder import (
+            make_dense_decoder)
+        decode_batch = make_dense_decoder(model, variables)
+    else:
+        def decode_batch(z):
+            return model.apply(variables, z, False,
+                               method=ConvVAE.decode_to_bodypose)
+
+    # SOLVER_FLOOR_REPROJ=0 drops the heatmap term (stage-2-like eval) to
+    # isolate the projection+sampling path's share of the eval cost
+    use_reproj = os.environ.get("SOLVER_FLOOR_REPROJ", "1") == "1"
+    sampling = os.environ.get("SOLVER_FLOOR_SAMPLING", "gather")
+
     def loss_one(z, anchor, h, b):
-        pose = model.apply(variables, z[None], False,
-                           method=ConvVAE.decode_to_bodypose)[0]
+        pose = decode_batch(z[None])[0]
         return total_energy_from_pose(pose, anchor, b, h, cam, local_w,
-                                      True, sampling_impl="gather")
+                                      use_reproj, sampling_impl=sampling)
 
     batched_vg = jax.vmap(jax.value_and_grad(loss_one),
                           in_axes=(0, 0, 0, 0))
@@ -109,9 +123,18 @@ def main():
     stage_ms_probes = 25 * vg_ms + 25 * 2 * v_ms
     total_ms = 2 * stage_ms_probes
     out["floor_windows_per_sec"] = round(n_win / (total_ms / 1e3), 1)
+    out["dense_decoder"] = dense
+    out["use_reproj"] = use_reproj
+    out["sampling"] = sampling
     print(json.dumps(out), flush=True)
+    if not use_reproj:
+        name = "solver_floor_noreproj.json"
+    elif dense:
+        name = "solver_floor_dense.json"
+    else:
+        name = "solver_floor.json"
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "solver_floor.json"), "w") as f:
+            os.path.abspath(__file__))), name), "w") as f:
         json.dump(out, f, indent=1)
 
 

@@ -34,6 +34,26 @@ def test_close_to_adaptive_on_nonconvex():
     assert f_fixed <= f_adaptive * 1.5 + 1e-3, (f_fixed, f_adaptive)
 
 
+def test_fused_probes_identical_trajectory():
+    """fused_probes folds the accepted-point value_and_grad into the probe
+    batch — the solver trajectory must be unchanged."""
+    rng = np.random.default_rng(4)
+    W = jnp.asarray(rng.normal(size=(10, 10)).astype(np.float32) * 0.4)
+    t = jnp.asarray(rng.normal(size=(10,)).astype(np.float32))
+
+    def loss(x):
+        return jnp.sum((W @ jnp.tanh(x) - t) ** 2) + 0.01 * jnp.sum(x ** 2)
+
+    x0 = jnp.asarray(rng.normal(size=(10,)).astype(np.float32))
+    r0 = lbfgs_minimize_fixed(loss, x0, max_iter=15)
+    r1 = lbfgs_minimize_fixed(loss, x0, max_iter=15, fused_probes=True)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(r1.f), float(r0.f),
+                               rtol=1e-5, atol=1e-8)
+    assert int(r1.n_evals) < int(r0.n_evals)
+
+
 def test_vmap_batch():
     centers = jnp.asarray(np.random.default_rng(0).normal(
         size=(12, 6)).astype(np.float32))
