@@ -41,6 +41,9 @@ DENSE_DECODER = os.environ.get("BENCH_DENSE_DECODER", "1") == "1"
 # probe batch (identical trajectory, fewer latency-bound evals);
 # measured 561 vs 529 windows/s on 1x v5e, so default ON
 FUSED_PROBES = os.environ.get("BENCH_FUSED_PROBES", "1") == "1"
+# 'bfloat16' halves HBM traffic of the heatmap sampling path (the
+# dominant eval cost, solver_floor_noreproj.json)
+HEATMAP_DTYPE = os.environ.get("BENCH_HEATMAP_DTYPE", "float32")
 
 # torch-CPU reference-equivalent baseline (windows/sec, two stages), as
 # measured by scripts/measure_torch_baseline.py on this machine; see
@@ -74,6 +77,7 @@ def main():
         sampling_impl=SAMPLING,
         fold_bn=FOLD_BN,
         dense_decoder=DENSE_DECODER,
+        heatmap_dtype=HEATMAP_DTYPE,
     )
     model = build_model(cfg)
     x0 = jnp.zeros((1, 10, 45))

@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(identical trajectory, fewer evals)")
     p.add_argument("--sampling", default="gather",
                    choices=["gather", "dense", "pallas"])
+    p.add_argument("--heatmap_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="heatmap storage dtype inside the solver")
     p.add_argument("--out_dir", default="out", type=str)
     p.add_argument("--profile_dir", default=None, type=str,
                    help="capture a jax.profiler device trace here")
@@ -105,6 +108,7 @@ def main(argv=None):
         solver=SolverConfig(method=args.solver,
                             fused_probes=args.fused_probes),
         sampling_impl=args.sampling,
+        heatmap_dtype=args.heatmap_dtype,
         fold_bn=args.fold_bn,
         dense_decoder=args.dense_decoder,
         camera=args.camera,

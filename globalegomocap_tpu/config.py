@@ -88,6 +88,10 @@ class OptimizeConfig:
     heatmap: HeatmapGeometry = field(default_factory=HeatmapGeometry)
     camera: str = "egosyn"          # built-in name or a calibration path
     sampling_impl: str = "gather"   # heatmap sampling: 'gather' | 'dense'
+    # storage dtype of the heatmaps inside the solver: 'bfloat16' halves
+    # the HBM traffic of the sampling path (the dominant eval cost,
+    # solver_floor_noreproj.json); sampling weights/accumulation stay f32
+    heatmap_dtype: str = "float32"
     # fold eval-mode BatchNorm into the conv weights (exact; removes the
     # runtime BN ops from every latency-bound objective eval)
     fold_bn: bool = False

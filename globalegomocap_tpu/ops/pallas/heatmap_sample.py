@@ -41,7 +41,8 @@ def _weights(coord, size, dtype):
 
 
 def _fwd_kernel(maps_ref, pts_ref, out_ref):
-    maps = maps_ref[...]            # (B, H, W)
+    # maps may be stored bf16 (halved HBM traffic); compute in f32 in VMEM
+    maps = maps_ref[...].astype(jnp.float32)   # (B, H, W)
     pts = pts_ref[...]              # (B, 2)
     h, w = maps.shape[-2], maps.shape[-1]
     ix = (pts[:, 0] + 1.0) * 0.5 * (w - 1)
@@ -55,7 +56,7 @@ def _fwd_kernel(maps_ref, pts_ref, out_ref):
 
 
 def _bwd_kernel(maps_ref, pts_ref, g_ref, dpts_ref):
-    maps = maps_ref[...]            # (B, H, W)
+    maps = maps_ref[...].astype(jnp.float32)   # (B, H, W)
     pts = pts_ref[...]              # (B, 2)
     g = g_ref[...][:, 0]            # (B,)
     h, w = maps.shape[-2], maps.shape[-1]
@@ -114,7 +115,7 @@ def _forward(maps, points):
             pl.BlockSpec((BLOCK, 2), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((BLOCK, 1), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK, 1), maps.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK, 1), jnp.float32),
         interpret=_interpret(),
     )(maps_p, pts_p)
     return out[:n, 0]
@@ -141,7 +142,7 @@ def _bwd_rule(res, g):
             pl.BlockSpec((BLOCK, 1), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((BLOCK, 2), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK, 2), maps.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK, 2), jnp.float32),
         interpret=_interpret(),
     )(maps_p, pts_p, g_p)
     # maps are constants of the latent optimization; their cotangent is a

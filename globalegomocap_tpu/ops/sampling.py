@@ -38,17 +38,26 @@ def grid_sample_bilinear(images: jnp.ndarray, grid_xy: jnp.ndarray
     wy1 = iy - y0
     wy0 = 1.0 - wy1
 
-    def tap(yf, xf, weight):
-        inb = (xf >= 0) & (xf <= w - 1) & (yf >= 0) & (yf <= h - 1)
+    # all four taps as ONE flat-indexed gather (TPU: a single small gather
+    # beats chained row gathers; indices are non-differentiable, the grid
+    # gradient flows through the weights)
+    def flat_idx(yf, xf):
         xi = jnp.clip(xf, 0, w - 1).astype(jnp.int32)
         yi = jnp.clip(yf, 0, h - 1).astype(jnp.int32)
-        vals = jnp.take_along_axis(
-            jnp.take_along_axis(images, yi[..., None, None], axis=-2),
-            xi[..., None, None], axis=-1)[..., 0, 0]
-        return jnp.where(inb, vals, 0.0) * weight
+        return yi * w + xi
 
-    return (tap(y0, x0, wy0 * wx0) + tap(y0, x1, wy0 * wx1)
-            + tap(y1, x0, wy1 * wx0) + tap(y1, x1, wy1 * wx1))
+    def inb(yf, xf):
+        return ((xf >= 0) & (xf <= w - 1) &
+                (yf >= 0) & (yf <= h - 1)).astype(jnp.float32)
+
+    idx = jnp.stack([flat_idx(y0, x0), flat_idx(y0, x1),
+                     flat_idx(y1, x0), flat_idx(y1, x1)], axis=-1)
+    wts = jnp.stack([wy0 * wx0 * inb(y0, x0), wy0 * wx1 * inb(y0, x1),
+                     wy1 * wx0 * inb(y1, x0), wy1 * wx1 * inb(y1, x1)],
+                    axis=-1)
+    flat = images.reshape(images.shape[:-2] + (h * w,))
+    vals = jnp.take_along_axis(flat, idx, axis=-1)          # (..., 4)
+    return jnp.sum(vals * wts, axis=-1)
 
 
 def grid_sample_bilinear_dense(images: jnp.ndarray, grid_xy: jnp.ndarray

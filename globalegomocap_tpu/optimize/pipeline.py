@@ -87,6 +87,11 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     w, t = init_pose.shape[0], init_pose.shape[1]
     flat = init_pose.reshape(w, t, 45)
 
+    if use_reproj and cfg.heatmap_dtype == "bfloat16":
+        # cast once per launch (loop-invariant, hoisted out of the solver
+        # scan); sampling promotes back to f32 at the weight multiply
+        heatmaps = heatmaps.astype(jnp.bfloat16)
+
     # deterministic latent init: encoder mean (one batched call for all
     # windows; the reference encodes per-window and samples stochastically,
     # optimizer.py:257 — mu-init removes that nondeterminism, SURVEY §7)
