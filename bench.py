@@ -27,7 +27,10 @@ FRAMES_PER_CHUNK = 100
 # defaults are the measured-fastest configuration that passes the e2e
 # quality tests (see perf_sweep.json + tests/test_e2e_quality.py)
 SOLVER = os.environ.get("BENCH_SOLVER", "lbfgs_fixed")
-SAMPLING = os.environ.get("BENCH_SAMPLING", "gather")
+# dense (MXU contraction) crushes the gather path at the flat production
+# batch: 998 vs 584 windows/s (the old gather-wins result was measured at
+# batch 12 in serial mode)
+SAMPLING = os.environ.get("BENCH_SAMPLING", "dense")
 # BN folding is exact for eval-mode inference (tests/test_fold_bn.py)
 FOLD_BN = os.environ.get("BENCH_FOLD_BN", "1") == "1"
 # 'flat' (one concatenated solver batch, fastest single-chip) | 'serial'
@@ -44,6 +47,10 @@ FUSED_PROBES = os.environ.get("BENCH_FUSED_PROBES", "1") == "1"
 # 'bfloat16' halves HBM traffic of the heatmap sampling path (the
 # dominant eval cost, solver_floor_noreproj.json)
 HEATMAP_DTYPE = os.environ.get("BENCH_HEATMAP_DTYPE", "float32")
+# > 0: peak-centered k x k heatmap crops (shrinks the sampling working
+# set — the dominant eval cost): 1097 (k=16) / 1155 (k=8) vs 998 full
+# windows/s; k=16 default (quality-backed by tests/test_e2e_quality.py)
+HEATMAP_CROP = int(os.environ.get("BENCH_HEATMAP_CROP", "16"))
 
 # torch-CPU reference-equivalent baseline (windows/sec, two stages), as
 # measured by scripts/measure_torch_baseline.py on this machine; see
@@ -78,6 +85,7 @@ def main():
         fold_bn=FOLD_BN,
         dense_decoder=DENSE_DECODER,
         heatmap_dtype=HEATMAP_DTYPE,
+        heatmap_crop=HEATMAP_CROP,
     )
     model = build_model(cfg)
     x0 = jnp.zeros((1, 10, 45))

@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--heatmap_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="heatmap storage dtype inside the solver")
+    p.add_argument("--heatmap_crop", default=0, type=int,
+                   help="crop maps to k x k around their peaks before the "
+                        "solve (0 = full maps, exact reference semantics)")
     p.add_argument("--out_dir", default="out", type=str)
     p.add_argument("--profile_dir", default=None, type=str,
                    help="capture a jax.profiler device trace here")
@@ -109,6 +112,7 @@ def main(argv=None):
                             fused_probes=args.fused_probes),
         sampling_impl=args.sampling,
         heatmap_dtype=args.heatmap_dtype,
+        heatmap_crop=args.heatmap_crop,
         fold_bn=args.fold_bn,
         dense_decoder=args.dense_decoder,
         camera=args.camera,

@@ -92,6 +92,12 @@ class OptimizeConfig:
     # the HBM traffic of the sampling path (the dominant eval cost,
     # solver_floor_noreproj.json); sampling weights/accumulation stay f32
     heatmap_dtype: str = "float32"
+    # > 0: crop each heatmap to a k x k window around its peak before the
+    # solve (once per launch).  The maps are Gaussian blobs, so the crop
+    # carries all non-negligible mass; shrinks the sampling working set,
+    # which dominates the eval cost.  0 = full maps (exact reference
+    # semantics).
+    heatmap_crop: int = 0
     # fold eval-mode BatchNorm into the conv weights (exact; removes the
     # runtime BN ops from every latency-bound objective eval)
     fold_bn: bool = False

@@ -131,19 +131,37 @@ def project_to_heatmap_grid(pose: jnp.ndarray,
 
 def heatmap_energy(pose: jnp.ndarray, heatmaps: jnp.ndarray,
                    camera: fisheye.FisheyeParams,
-                   impl: str = "gather") -> jnp.ndarray:
+                   impl: str = "gather",
+                   origins: jnp.ndarray | None = None,
+                   full_hw: tuple | None = None) -> jnp.ndarray:
     """Negative sum of heatmap likelihood sampled at the projected joints
     (reference: optimizer.py:139-149 `reprojection_energy_heatmap_fast`).
 
     pose:     (T, 15, 3) decoded window (camera frame).
     heatmaps: (T, 15, H, W) per-joint score maps (already permuted from the
-              stored (T, H, W, 15) layout by the pipeline).
-    impl:     'gather' (4-tap gathers) or 'dense' (MXU one-hot contraction;
-              preferred on TPU).
+              stored (T, H, W, 15) layout by the pipeline).  With `origins`
+              these are k x k CROPS around each map's peak.
+    impl:     'gather' (one 4-tap flat gather) or 'dense' (MXU one-hot
+              contraction) or 'pallas' (fused kernel).
+    origins:  (T, 15, 2) crop origins (oy, ox) in full-map pixels; requires
+              `full_hw` = the uncropped (H, W).  Projected points are mapped
+              to full-map pixels then shifted into crop coordinates; points
+              outside the crop sample zero (the peak-centered crops carry
+              all non-negligible mass, tests/test_heatmap_crop.py).
     """
     t, j = heatmaps.shape[0], heatmaps.shape[1]
     grid = project_to_heatmap_grid(pose.reshape(t * j, 3), camera)
     maps = heatmaps.reshape(t * j, heatmaps.shape[-2], heatmaps.shape[-1])
+    if origins is not None:
+        from globalegomocap_tpu.ops.sampling import (
+            bilinear_sample_pixels, bilinear_dense_pixels)
+        fh, fw = full_hw
+        org = origins.reshape(t * j, 2)
+        ix = (grid[..., 0] + 1.0) * 0.5 * (fw - 1) - org[..., 1]
+        iy = (grid[..., 1] + 1.0) * 0.5 * (fh - 1) - org[..., 0]
+        pix_sample = (bilinear_dense_pixels if impl == "dense"
+                      else bilinear_sample_pixels)
+        return -jnp.sum(pix_sample(maps, ix, iy))
     if impl == "pallas":
         from globalegomocap_tpu.ops.pallas.heatmap_sample import (
             heatmap_sample_pallas)
@@ -153,6 +171,34 @@ def heatmap_energy(pose: jnp.ndarray, heatmaps: jnp.ndarray,
     else:
         sample = grid_sample_bilinear
     return -jnp.sum(sample(maps, grid))
+
+
+def crop_heatmaps(heatmaps: jnp.ndarray, k: int):
+    """Crop each map to the k x k window around its peak.
+
+    The maps are Gaussian blobs (Mo2Cap2-style network output), so a
+    peak-centered crop carries all non-negligible probability mass; the
+    latent solver only ever samples near the blob.  Cropping shrinks the
+    solver's sampling working set (H*W -> k*k) — the sampling gather is the
+    dominant eval cost on TPU.  Runs ONCE per launch (loop-invariant),
+    outside the solver iteration.
+
+    heatmaps: (..., H, W) -> (crops (..., k, k), origins (..., 2) as
+    (oy, ox) float, (H, W)).
+    """
+    h, w = heatmaps.shape[-2], heatmaps.shape[-1]
+    k = min(int(k), h, w)   # a crop can never exceed the map
+    flat = heatmaps.reshape(heatmaps.shape[:-2] + (h * w,))
+    am = jnp.argmax(flat, axis=-1)
+    cy, cx = am // w, am % w
+    oy = jnp.clip(cy - k // 2, 0, h - k)
+    ox = jnp.clip(cx - k // 2, 0, w - k)
+    iy = oy[..., None] + jnp.arange(k)
+    rows = jnp.take_along_axis(heatmaps, iy[..., None], axis=-2)
+    ix = ox[..., None] + jnp.arange(k)
+    crops = jnp.take_along_axis(rows, ix[..., None, :], axis=-1)
+    origins = jnp.stack([oy, ox], axis=-1).astype(jnp.float32)
+    return crops, origins, (h, w)
 
 
 def overlap_consistency_energy(poses: jnp.ndarray,
@@ -183,7 +229,9 @@ def total_energy_from_pose(pose: jnp.ndarray,
                            weights: EnergyWeights,
                            use_reproj: bool,
                            gmm_score_fn=None,
-                           sampling_impl: str = "gather") -> jnp.ndarray:
+                           sampling_impl: str = "gather",
+                           origins: jnp.ndarray | None = None,
+                           full_hw: tuple | None = None) -> jnp.ndarray:
     """The total loss of a stage given an already-decoded pose window
     (reference: optimizer.py:226-240).
 
@@ -198,7 +246,8 @@ def total_energy_from_pose(pose: jnp.ndarray,
          + weights.vae * vae_energy(pose))
     if use_reproj:
         e = e + weights.reproj * heatmap_energy(pose, heatmaps, camera,
-                                                sampling_impl)
+                                                sampling_impl, origins,
+                                                full_hw)
     if gmm_score_fn is not None:
         # optional GMM pose prior: negative log-likelihood of the window
         # (the reference plumbs --gmm but never adds the term to total_loss,

@@ -5,6 +5,14 @@ This is the exact sampling contract of the heatmap reprojection energy
 align_corners=True and default zero padding), implemented as pure gathers so
 it vmaps over (window, frame, joint) and differentiates cleanly under
 jax.grad.
+
+Two coordinate conventions:
+  * `grid_sample_bilinear[_dense](images, grid_xy)` — normalized [-1, 1]
+    coordinates over the image (torch grid_sample contract).
+  * `bilinear_sample_pixels / bilinear_dense_pixels(images, ix, iy)` —
+    raw pixel coordinates; the building block for sampling CROPPED maps,
+    where the pixel coords are computed against the full map and shifted by
+    the crop origin.
 """
 
 from __future__ import annotations
@@ -12,21 +20,16 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def grid_sample_bilinear(images: jnp.ndarray, grid_xy: jnp.ndarray
-                         ) -> jnp.ndarray:
-    """Sample each image at one (or more) normalized grid points.
+def bilinear_sample_pixels(images: jnp.ndarray, ix: jnp.ndarray,
+                           iy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample at pixel coords (zero outside [0, size-1]).
 
-    images:  (..., H, W) one single-channel image per leading index.
-    grid_xy: (..., 2) normalized coordinates in [-1, 1]; x indexes width,
-             y indexes height; broadcast-compatible with images' leading axes.
-    returns  (...,) bilinearly interpolated values; out-of-bounds corner taps
-             contribute zero (torch zero-padding semantics).
+    images: (..., H, W); ix, iy: (...,) pixel coordinates.
+    All four taps are fetched in ONE flat-indexed gather (TPU: a single
+    small gather beats chained row gathers; indices are non-differentiable,
+    the coordinate gradient flows through the weights).
     """
     h, w = images.shape[-2], images.shape[-1]
-
-    # align_corners=True: -1 -> 0, +1 -> size-1
-    ix = (grid_xy[..., 0] + 1.0) * 0.5 * (w - 1)
-    iy = (grid_xy[..., 1] + 1.0) * 0.5 * (h - 1)
 
     x0 = jnp.floor(ix)
     y0 = jnp.floor(iy)
@@ -38,9 +41,6 @@ def grid_sample_bilinear(images: jnp.ndarray, grid_xy: jnp.ndarray
     wy1 = iy - y0
     wy0 = 1.0 - wy1
 
-    # all four taps as ONE flat-indexed gather (TPU: a single small gather
-    # beats chained row gathers; indices are non-differentiable, the grid
-    # gradient flows through the weights)
     def flat_idx(yf, xf):
         xi = jnp.clip(xf, 0, w - 1).astype(jnp.int32)
         yi = jnp.clip(yf, 0, h - 1).astype(jnp.int32)
@@ -60,28 +60,52 @@ def grid_sample_bilinear(images: jnp.ndarray, grid_xy: jnp.ndarray
     return jnp.sum(vals * wts, axis=-1)
 
 
-def grid_sample_bilinear_dense(images: jnp.ndarray, grid_xy: jnp.ndarray
-                               ) -> jnp.ndarray:
-    """Gather-free bilinear sampling for TPU: the two bilinear taps per
-    axis are expressed as dense triangle-kernel weight vectors and the
+def bilinear_dense_pixels(images: jnp.ndarray, ix: jnp.ndarray,
+                          iy: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free bilinear sampling at pixel coords for TPU: the two
+    bilinear taps per axis are dense triangle-kernel weight vectors and the
     sample becomes a batched contraction that maps onto the MXU —
     sample[p] = Σ_h Σ_w  tri(iy_p - h) · im[p, h, w] · tri(ix_p - w).
 
-    The triangle weights max(0, 1 - |i - c|) reproduce torch's
+    Triangle weights max(0, 1 - |i - c|) reproduce torch's
     align_corners=True + zero-padding semantics exactly (out-of-bounds taps
-    get zero weight), and the formulation differentiates cleanly.
-
-    Same contract as `grid_sample_bilinear`; preferred on TPU where
-    per-point gathers serialize on the VPU while this runs as matmuls.
+    get zero weight) and differentiate cleanly.
     """
     h, w = images.shape[-2], images.shape[-1]
-    ix = (grid_xy[..., 0] + 1.0) * 0.5 * (w - 1)
-    iy = (grid_xy[..., 1] + 1.0) * 0.5 * (h - 1)
-
-    cols = jnp.arange(w, dtype=images.dtype)
-    rows = jnp.arange(h, dtype=images.dtype)
+    cols = jnp.arange(w, dtype=jnp.float32)
+    rows = jnp.arange(h, dtype=jnp.float32)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(ix[..., None] - cols))  # (..., W)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[..., None] - rows))  # (..., H)
 
     inner = jnp.einsum("...hw,...w->...h", images, wx)
     return jnp.einsum("...h,...h->...", inner, wy)
+
+
+def _to_pixels(images, grid_xy):
+    """align_corners=True: -1 -> 0, +1 -> size-1."""
+    h, w = images.shape[-2], images.shape[-1]
+    ix = (grid_xy[..., 0] + 1.0) * 0.5 * (w - 1)
+    iy = (grid_xy[..., 1] + 1.0) * 0.5 * (h - 1)
+    return ix, iy
+
+
+def grid_sample_bilinear(images: jnp.ndarray, grid_xy: jnp.ndarray
+                         ) -> jnp.ndarray:
+    """Sample each image at one (or more) normalized grid points.
+
+    images:  (..., H, W) one single-channel image per leading index.
+    grid_xy: (..., 2) normalized coordinates in [-1, 1]; x indexes width,
+             y indexes height; broadcast-compatible with images' leading axes.
+    returns  (...,) bilinearly interpolated values; out-of-bounds corner taps
+             contribute zero (torch zero-padding semantics).
+    """
+    ix, iy = _to_pixels(images, grid_xy)
+    return bilinear_sample_pixels(images, ix, iy)
+
+
+def grid_sample_bilinear_dense(images: jnp.ndarray, grid_xy: jnp.ndarray
+                               ) -> jnp.ndarray:
+    """Normalized-coordinate wrapper of `bilinear_dense_pixels` (same
+    contract as `grid_sample_bilinear`)."""
+    ix, iy = _to_pixels(images, grid_xy)
+    return bilinear_dense_pixels(images, ix, iy)

@@ -92,6 +92,14 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
         # scan); sampling promotes back to f32 at the weight multiply
         heatmaps = heatmaps.astype(jnp.bfloat16)
 
+    origins, full_hw = None, None
+    if use_reproj and cfg.heatmap_crop > 0:
+        # shrink the solver's sampling working set to peak-centered crops
+        # (ONCE per launch; the sampling gather dominates the eval cost)
+        from globalegomocap_tpu.energy.terms import crop_heatmaps
+        heatmaps, origins, full_hw = crop_heatmaps(heatmaps,
+                                                   cfg.heatmap_crop)
+
     # deterministic latent init: encoder mean (one batched call for all
     # windows; the reference encodes per-window and samples stochastically,
     # optimizer.py:257 — mu-init removes that nondeterminism, SURVEY §7)
@@ -114,12 +122,13 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     if cfg.solver.remat:
         decode = jax.checkpoint(decode)
 
-    def solve_one(z0, anchor, heat, bl):
+    def solve_one(z0, anchor, heat, bl, org):
         def loss(z):
             pose = decode(z).astype(jnp.float32)
             return total_energy_from_pose(
                 pose, anchor, bl, heat, camera, weights, use_reproj,
-                sampling_impl=cfg.sampling_impl)
+                sampling_impl=cfg.sampling_impl, origins=org,
+                full_hw=full_hw)
         return _solve(cfg, loss, z0)
 
     coupling = float(cfg.energy.overlap_consistency)
@@ -140,17 +149,30 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
 
         def joint_loss(z_flat):
             poses = decode_all(z_flat)              # (W, T, 15, 3)
-            per_window = jax.vmap(
-                lambda p, a, h, b: total_energy_from_pose(
-                    p, a, b, h, camera, weights, use_reproj,
-                    sampling_impl=cfg.sampling_impl))(
-                poses, init_pose, heatmaps, mean_bl)
+            if origins is None:
+                per_window = jax.vmap(
+                    lambda p, a, h, b: total_energy_from_pose(
+                        p, a, b, h, camera, weights, use_reproj,
+                        sampling_impl=cfg.sampling_impl))(
+                    poses, init_pose, heatmaps, mean_bl)
+            else:
+                per_window = jax.vmap(
+                    lambda p, a, h, b, o: total_energy_from_pose(
+                        p, a, b, h, camera, weights, use_reproj,
+                        sampling_impl=cfg.sampling_impl, origins=o,
+                        full_hw=full_hw))(
+                    poses, init_pose, heatmaps, mean_bl, origins)
             couple = overlap_consistency_energy(poses, cfg.window.stride)
             return jnp.sum(per_window) + coupling * couple
 
         z_star = _solve(cfg, joint_loss, mu.reshape(-1)).reshape(w, latent)
+    elif origins is None:
+        z_star = jax.vmap(
+            lambda z0, a, h, b: solve_one(z0, a, h, b, None))(
+            mu, init_pose, heatmaps, mean_bl)
     else:
-        z_star = jax.vmap(solve_one)(mu, init_pose, heatmaps, mean_bl)
+        z_star = jax.vmap(solve_one)(mu, init_pose, heatmaps, mean_bl,
+                                     origins)
 
     return decode_batch(z_star)
 

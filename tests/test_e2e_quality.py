@@ -78,8 +78,9 @@ class TestEndToEndQuality:
         assert 0.01 < errors["original_global_mpjpe"] < 0.1
 
     def test_production_config_quality(self, trained_priors):
-        """The exact benchmark configuration (fixed solver + gather
-        sampling + BN folding + flat multi-chunk batch) must match the
+        """The exact benchmark configuration (fixed solver with fused
+        probes + dense MXU sampling + peak-cropped heatmaps + BN folding +
+        banded-matmul decoder + flat multi-chunk batch) must match the
         plain configuration's quality."""
         local_vars, global_vars, *_ = trained_priors
         chunks = [synthetic_chunk(n_frames=40, seed=31 + i,
@@ -89,7 +90,11 @@ class TestEndToEndQuality:
             prior=PRIOR,
             solver=SolverConfig(method="lbfgs_fixed", max_iter=20,
                                 history_size=20))
-        prod_cfg = with_overrides(base_cfg, fold_bn=True)
+        prod_cfg = with_overrides(
+            base_cfg, fold_bn=True, dense_decoder=True,
+            sampling_impl="dense", heatmap_crop=16,
+            solver=SolverConfig(method="lbfgs_fixed", max_iter=20,
+                                history_size=20, fused_probes=True))
 
         from globalegomocap_tpu.evaluation.metrics import calculate_errors
 
