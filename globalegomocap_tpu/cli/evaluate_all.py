@@ -40,11 +40,20 @@ def main(argv=None):
         energy=EnergyConfig(vae=args.vae, gmm=args.gmm, smooth=args.smooth,
                             bone_length=args.bone_length,
                             weight_3d=args.weight_3d,
-                            reproj=args.reproj_weight),
-        prior=PriorConfig(latent_dim=args.latent_dim, seq_len=args.seq_len),
-        solver=SolverConfig(method=args.solver),
+                            reproj=args.reproj_weight,
+                            overlap_consistency=args.overlap_consistency),
+        prior=PriorConfig(latent_dim=args.latent_dim, seq_len=args.seq_len,
+                          hidden_dims=tuple(
+                              int(x) for x in args.hidden_dims.split(","))),
+        solver=SolverConfig(method=args.solver,
+                            fused_probes=args.fused_probes),
         sampling_impl=args.sampling,
+        heatmap_dtype=args.heatmap_dtype,
+        heatmap_crop=args.heatmap_crop,
+        fold_bn=args.fold_bn,
+        dense_decoder=args.dense_decoder,
         camera=args.camera, final_smooth=args.final_smooth,
+        final_smooth_method=args.final_smooth_method,
         merge=args.merge)
     model = build_model(cfg)
     hd = tuple(cfg.prior.hidden_dims)

@@ -125,8 +125,10 @@ def project_to_heatmap_grid(pose: jnp.ndarray,
     pose: (..., 3) -> (..., 2) in [-1, 1].
     """
     p2d = fisheye.world2camera(camera, pose)
-    p2d = p2d.at[..., 0].add(-128.0)
-    return (p2d - 512.0) / 512.0
+    # x: (x - crop_offset - half)/half, y: (y - half)/half — as one affine
+    # op (an .at[...,0].add would lower to a scatter)
+    offset = jnp.asarray([128.0 + 512.0, 512.0], p2d.dtype)
+    return (p2d - offset) / 512.0
 
 
 def heatmap_energy(pose: jnp.ndarray, heatmaps: jnp.ndarray,

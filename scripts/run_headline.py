@@ -63,9 +63,13 @@ def main():
     global_vars = train(False)
 
     print("=== 3/3 optimizing 5 sequences ===", flush=True)
+    # the fastest quality-verified configuration (perf_levers_r1.json,
+    # tests/test_e2e_quality.py::test_production_config_quality)
     cfg = OptimizeConfig(prior=PriorConfig(latent_dim=2048, seq_len=10),
-                         solver=SolverConfig(method="lbfgs_fixed"),
-                         sampling_impl="gather")
+                         solver=SolverConfig(method="lbfgs_fixed",
+                                             fused_probes=True),
+                         sampling_impl="dense", heatmap_crop=16,
+                         fold_bn=True, dense_decoder=True)
     opt = SequenceOptimizer(build_model(cfg), local_vars, global_vars, cfg)
 
     # 5 sequences x 5 chunks x 100 frames (the reference's scale)
@@ -77,21 +81,21 @@ def main():
         for i in range(5)
     }
 
-    # warm up the compiled program once
-    jax.block_until_ready(
-        opt.optimize_chunk(next(iter(sequences.values()))[0]).optimized)
+    # warm up the compiled program once (one flat per-sequence launch)
+    jax.block_until_ready(opt.optimize_chunks_batched(
+        next(iter(sequences.values())), mode="flat").optimized)
 
     meter = ThroughputMeter(unit="windows")
     overall = {}
     for name, chunks in sequences.items():
         per_chunk = []
         with meter.measure(num_windows(100) * len(chunks)):
-            outs = [opt.optimize_chunk(c) for c in chunks]
-            for o in outs:
-                jax.block_until_ready(o.optimized)
-        for o in outs:
+            res = opt.optimize_chunks_batched(chunks, mode="flat")
+            jax.block_until_ready(res.optimized)
+        for i in range(len(chunks)):
             per_chunk.append({k: np.asarray(v) for k, v in calculate_errors(
-                o.estimated, o.mid, o.optimized, o.gt).items()})
+                res.estimated[i], res.mid[i], res.optimized[i],
+                res.gt[i]).items()})
         avg = {k: np.mean([e[k] for e in per_chunk], axis=0)
                for k in per_chunk[0]}
         overall[name] = avg
