@@ -44,6 +44,9 @@ DENSE_DECODER = os.environ.get("BENCH_DENSE_DECODER", "1") == "1"
 # probe batch (identical trajectory, fewer latency-bound evals);
 # measured 561 vs 529 windows/s on 1x v5e, so default ON
 FUSED_PROBES = os.environ.get("BENCH_FUSED_PROBES", "1") == "1"
+# fixed solver: compact-representation L-BFGS direction (identical math,
+# ~8 kernels instead of ~2*history sequential ones)
+COMPACT_DIR = os.environ.get("BENCH_COMPACT_DIRECTION", "0") == "1"
 # 'bfloat16' halves HBM traffic of the heatmap sampling path (the
 # dominant eval cost, solver_floor_noreproj.json)
 HEATMAP_DTYPE = os.environ.get("BENCH_HEATMAP_DTYPE", "float32")
@@ -80,7 +83,8 @@ def main():
 
     cfg = OptimizeConfig(
         prior=PriorConfig(latent_dim=2048, seq_len=10),
-        solver=SolverConfig(method=SOLVER, fused_probes=FUSED_PROBES),
+        solver=SolverConfig(method=SOLVER, fused_probes=FUSED_PROBES,
+                            compact_direction=COMPACT_DIR),
         sampling_impl=SAMPLING,
         fold_bn=FOLD_BN,
         dense_decoder=DENSE_DECODER,

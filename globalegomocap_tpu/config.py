@@ -39,6 +39,10 @@ class SolverConfig:
     # batched call instead of probing values then re-evaluating at the
     # accepted point (identical trajectory, fewer latency-bound evals)
     fused_probes: bool = False
+    # fixed solver: compute the L-BFGS direction via the compact (matrix)
+    # representation instead of the sequential two-loop recursion —
+    # algebraically identical, ~8 kernels instead of ~2*history tiny ones
+    compact_direction: bool = False
     # rematerialize the decoder in the backward pass (trades FLOPs for HBM,
     # for very large window batches)
     remat: bool = False

@@ -53,6 +53,12 @@ def _two_loop_direction(grad, s_hist, y_hist, rho_hist, valid):
 
     valid: (m,) bool mask of filled slots, ordered oldest..newest by the
     caller (we pass history already rolled so index m-1 is newest).
+
+    Deliberately a lax.fori_loop: measured on v5e at the production batch,
+    both the unrolled straight-line variant (902 windows/s) and the
+    compact-representation reformulation (865) are SLOWER than this loop
+    (1122) — the device-side loop is cheaper than the bloated unrolled
+    program or batched triangular solves (perf_levers_r1.json).
     """
     m = s_hist.shape[0]
 
@@ -80,6 +86,51 @@ def _two_loop_direction(grad, s_hist, y_hist, rho_hist, valid):
 
     r = jax.lax.fori_loop(0, m, forward, r)
     return -r
+
+
+def _compact_direction(grad, s_hist, y_hist, valid):
+    """L-BFGS direction via the compact representation (Byrd, Nocedal &
+    Schnabel 1994) — algebraically identical to the two-loop recursion but
+    expressed as a handful of batched matmuls and two (m, m) triangular
+    solves instead of 2m SEQUENTIAL fori_loop steps (tests assert equality
+    with `_two_loop_direction`).
+
+    MEASURED NEGATIVE on v5e at batch 240 (865 vs 1122 windows/s,
+    perf_levers_r1.json): the batched (m, m) triangular solves lower
+    poorly on TPU and cost more than the two-loop's tiny kernels save.
+    Kept as an option for hardware where batched solves are cheap.
+
+    With H0 = gamma*I:
+        H g = gamma*g + [S  gamma*Y] W [S^T g; gamma*Y^T g]
+        W   = [[R^-T (D + gamma*Y^T Y) R^-1, -R^-T], [-R^-1, 0]]
+    where R = upper-triangular(S^T Y), D = diag(S^T Y).  Invalid history
+    slots carry zero s/y rows; their R/D diagonal is patched to 1 so the
+    solves stay well-posed while their contributions vanish.
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    dtype = grad.dtype
+    v = valid.astype(dtype)
+    s = s_hist * v[:, None]
+    y = y_hist * v[:, None]
+
+    sy = s @ y.T                                   # (m, m)  s_i . y_j
+    d = jnp.diag(sy)
+    r = jnp.triu(sy) + jnp.diag(jnp.where(valid, 0.0, 1.0))
+    yy = y @ y.T
+
+    # gamma = s.y / y.y of the newest pair (slot m-1 by construction)
+    gamma = jnp.where(valid[-1] & (yy[-1, -1] > 0),
+                      sy[-1, -1] / yy[-1, -1], 1.0)
+
+    a = s @ grad                                   # (m,)
+    b = y @ grad
+    p1 = solve_triangular(r, a, lower=False)       # R^-1 a
+    q = (jnp.where(valid, d, 1.0) * p1) + gamma * (yy @ p1)
+    alpha = solve_triangular(r.T, q - gamma * b, lower=True)   # R^-T (...)
+    beta = -p1
+    hg = gamma * grad + alpha @ s + gamma * (beta @ y)
+    return -hg
 
 
 class _LineSearchState(NamedTuple):
@@ -356,7 +407,8 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
                          lr: float = 2.0,
                          step_candidates=(1.0, 0.5, 0.1, 0.02),
                          c1: float = 1e-4,
-                         fused_probes: bool = False) -> LBFGSResult:
+                         fused_probes: bool = False,
+                         compact_direction: bool = False) -> LBFGSResult:
     """L-BFGS with a PARALLEL Armijo line search and fully static control
     flow (lax.scan, no while loops).
 
@@ -394,7 +446,10 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
 
     def step(carry, it):
         x, f, g, s_hist, y_hist, rho_hist, valid = carry
-        d = _two_loop_direction(g, s_hist, y_hist, rho_hist, valid)
+        if compact_direction:
+            d = _compact_direction(g, s_hist, y_hist, valid)
+        else:
+            d = _two_loop_direction(g, s_hist, y_hist, rho_hist, valid)
         descent = jnp.dot(d, g) < 0
         d = jnp.where(descent & jnp.all(jnp.isfinite(d)), d, -g)
         dphi0 = jnp.dot(d, g)

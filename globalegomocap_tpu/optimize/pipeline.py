@@ -66,7 +66,8 @@ def _solve(cfg: OptimizeConfig, loss, z0):
         return lbfgs_minimize_fixed(
             loss, z0, max_iter=s.max_iter, history_size=s.history_size,
             lr=s.lr, step_candidates=tuple(s.step_candidates),
-            fused_probes=s.fused_probes).x
+            fused_probes=s.fused_probes,
+            compact_direction=s.compact_direction).x
     return lbfgs_minimize(
         loss, z0, max_iter=s.max_iter, history_size=s.history_size,
         lr=s.lr, tolerance_change=s.tolerance_change,

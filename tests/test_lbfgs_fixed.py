@@ -54,6 +54,57 @@ def test_fused_probes_identical_trajectory():
     assert int(r1.n_evals) < int(r0.n_evals)
 
 
+def test_compact_direction_equals_two_loop():
+    """The compact (Byrd-Nocedal-Schnabel) direction must equal the
+    two-loop recursion for every history fill level."""
+    from globalegomocap_tpu.optimize.lbfgs import (
+        _two_loop_direction, _compact_direction)
+    rng = np.random.default_rng(7)
+    m, dim = 8, 24
+    for n_valid in (0, 1, 3, 8):
+        s = np.zeros((m, dim), np.float32)
+        y = np.zeros((m, dim), np.float32)
+        valid = np.zeros((m,), bool)
+        for i in range(m - n_valid, m):   # newest slots filled (roll order)
+            si = rng.normal(size=dim).astype(np.float32)
+            yi = si * rng.uniform(0.5, 2.0) + \
+                rng.normal(size=dim).astype(np.float32) * 0.1
+            if float(si @ yi) <= 1e-10:
+                yi = si  # force positive curvature
+            s[i], y[i], valid[i] = si, yi, True
+        rho = np.where(valid, 1.0 / np.maximum(
+            np.sum(s * y, -1), 1e-12), 0.0).astype(np.float32)
+        g = jnp.asarray(rng.normal(size=dim).astype(np.float32))
+
+        d0 = _two_loop_direction(g, jnp.asarray(s), jnp.asarray(y),
+                                 jnp.asarray(rho), jnp.asarray(valid))
+        d1 = _compact_direction(g, jnp.asarray(s), jnp.asarray(y),
+                                jnp.asarray(valid))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_compact_direction_solver_trajectory():
+    """End-to-end: compact_direction=True reaches the same solution."""
+    rng = np.random.default_rng(8)
+    W = jnp.asarray(rng.normal(size=(10, 10)).astype(np.float32) * 0.4)
+    t = jnp.asarray(rng.normal(size=(10,)).astype(np.float32))
+
+    def loss(x):
+        return jnp.sum((W @ jnp.tanh(x) - t) ** 2) + 0.01 * jnp.sum(x ** 2)
+
+    x0 = jnp.asarray(rng.normal(size=(10,)).astype(np.float32))
+    r0 = lbfgs_minimize_fixed(loss, x0, max_iter=15, fused_probes=True)
+    r1 = lbfgs_minimize_fixed(loss, x0, max_iter=15, fused_probes=True,
+                              compact_direction=True)
+    # per-iteration directions are equal (unit test above), but fp-level
+    # differences can flip a candidate pick over many iterations; require
+    # the same solution QUALITY
+    np.testing.assert_allclose(float(r1.f), float(r0.f),
+                               rtol=1e-2, atol=1e-6)
+    assert float(r1.f) <= float(r0.f) * 1.01 + 1e-6
+
+
 def test_vmap_batch():
     centers = jnp.asarray(np.random.default_rng(0).normal(
         size=(12, 6)).astype(np.float32))
