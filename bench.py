@@ -47,6 +47,10 @@ FUSED_PROBES = os.environ.get("BENCH_FUSED_PROBES", "1") == "1"
 # fixed solver: compact-representation L-BFGS direction (identical math,
 # ~8 kernels instead of ~2*history sequential ones)
 COMPACT_DIR = os.environ.get("BENCH_COMPACT_DIRECTION", "0") == "1"
+# L-BFGS history size (the two-loop recursion and the history rolls scale
+# with it): m=10 gives 1326 vs 1122 windows/s at m=25 with identical e2e
+# quality (tests/test_e2e_quality.py); m=5 saturates at the same 1324
+HISTORY = int(os.environ.get("BENCH_HISTORY", "10"))
 # 'bfloat16' halves HBM traffic of the heatmap sampling path (the
 # dominant eval cost, solver_floor_noreproj.json)
 HEATMAP_DTYPE = os.environ.get("BENCH_HEATMAP_DTYPE", "float32")
@@ -84,7 +88,8 @@ def main():
     cfg = OptimizeConfig(
         prior=PriorConfig(latent_dim=2048, seq_len=10),
         solver=SolverConfig(method=SOLVER, fused_probes=FUSED_PROBES,
-                            compact_direction=COMPACT_DIR),
+                            compact_direction=COMPACT_DIR,
+                            history_size=HISTORY),
         sampling_impl=SAMPLING,
         fold_bn=FOLD_BN,
         dense_decoder=DENSE_DECODER,

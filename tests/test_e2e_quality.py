@@ -94,7 +94,7 @@ class TestEndToEndQuality:
             base_cfg, fold_bn=True, dense_decoder=True,
             sampling_impl="dense", heatmap_crop=16,
             solver=SolverConfig(method="lbfgs_fixed", max_iter=20,
-                                history_size=20, fused_probes=True))
+                                history_size=10, fused_probes=True))
 
         from globalegomocap_tpu.evaluation.metrics import calculate_errors
 
