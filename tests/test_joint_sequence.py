@@ -60,3 +60,27 @@ def test_joint_solve_runs_and_reduces_overlap_disagreement():
     # the per-window solve, not diverge
     assert e1["aligned_optimized_mpjpe"] < \
         e0["aligned_optimized_mpjpe"] * 1.5 + 1e-3
+
+
+def test_joint_solve_with_heatmap_crop():
+    """The joint whole-sequence path combined with peak-cropped heatmaps
+    (the origins branch of joint_loss) runs and preserves quality."""
+    chunk = synthetic_chunk(34, seed=5, noise_std=0.05)
+    solver = SolverConfig(method="lbfgs_fixed", max_iter=3, history_size=3)
+    cfg0 = OptimizeConfig(
+        prior=PRIOR, solver=solver,
+        energy=EnergyConfig(overlap_consistency=1.0))
+    cfg1 = OptimizeConfig(
+        prior=PRIOR, solver=solver, heatmap_crop=16,
+        energy=EnergyConfig(overlap_consistency=1.0))
+
+    model = build_model(cfg0)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    r0 = SequenceOptimizer(model, v, v, cfg0).optimize_chunk(chunk)
+    r1 = SequenceOptimizer(model, v, v, cfg1).optimize_chunk(chunk)
+    assert np.isfinite(np.asarray(r1.optimized)).all()
+
+    def quality(r):
+        return float(np.linalg.norm(
+            np.asarray(r.optimized) - np.asarray(r.gt), axis=-1).mean())
+    assert quality(r1) <= quality(r0) * 1.05 + 1e-3
