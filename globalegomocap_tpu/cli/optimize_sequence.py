@@ -47,6 +47,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overlap_consistency", default=0.0, type=float,
                    help="cross-window coupling weight (joint "
                         "whole-sequence solve when > 0)")
+    p.add_argument("--soft_smooth", default=0.0, type=float,
+                   help="anchor-to-presmoothed-input weight (the "
+                        "reference's soft_smooth_energy; 0 = off, "
+                        "reference default)")
+    p.add_argument("--input_smooth_sigma", default=1.0, type=float,
+                   help="sigma of the per-window input pre-smoothing "
+                        "feeding --soft_smooth")
+    p.add_argument("--init", default="mu", choices=["mu", "sample"],
+                   help="latent init: deterministic encoder mean or the "
+                        "reference's stochastic reparameterized sample "
+                        "(optimizer.py:257)")
+    p.add_argument("--init_seed", default=0, type=int)
     p.add_argument("--merge", default=True, type=str2bool)
     p.add_argument("--local_ckpt", required=True, type=str)
     p.add_argument("--global_ckpt", required=True, type=str)
@@ -68,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--heatmap_crop", default=0, type=int,
                    help="crop maps to k x k around their peaks before the "
                         "solve (0 = full maps, exact reference semantics)")
+    p.add_argument("--heatmap_crop_min_mass", default=0.90, type=float,
+                   help="fall back to full maps when the peak crops hold "
+                        "less than this mean fraction of map mass "
+                        "(multimodal-map guard; 0 disables)")
     p.add_argument("--out_dir", default="out", type=str)
     p.add_argument("--profile_dir", default=None, type=str,
                    help="capture a jax.profiler device trace here")
@@ -104,15 +120,19 @@ def main(argv=None):
                             bone_length=args.bone_length,
                             weight_3d=args.weight_3d,
                             reproj=args.reproj_weight,
-                            overlap_consistency=args.overlap_consistency),
+                            overlap_consistency=args.overlap_consistency,
+                            soft_smooth=args.soft_smooth),
         prior=PriorConfig(latent_dim=args.latent_dim, seq_len=args.seq_len,
                           hidden_dims=tuple(
                               int(x) for x in args.hidden_dims.split(","))),
         solver=SolverConfig(method=args.solver,
-                            fused_probes=args.fused_probes),
+                            fused_probes=args.fused_probes,
+                            init=args.init, init_seed=args.init_seed),
         sampling_impl=args.sampling,
         heatmap_dtype=args.heatmap_dtype,
         heatmap_crop=args.heatmap_crop,
+        heatmap_crop_min_mass=args.heatmap_crop_min_mass,
+        input_smooth_sigma=args.input_smooth_sigma,
         fold_bn=args.fold_bn,
         dense_decoder=args.dense_decoder,
         camera=args.camera,

@@ -33,6 +33,12 @@ class SolverConfig:
     max_ls_evals: int = 25
     adam_steps: int = 150
     adam_lr: float = 0.05
+    # latent init: 'mu' (deterministic encoder mean, this rebuild's
+    # default) or 'sample' (the reference's reparameterized sample init,
+    # optimizer.py:257 / SeqConvVAE.py:159-169 — stochastic, keyed by
+    # init_seed for reproducibility)
+    init: str = "mu"
+    init_seed: int = 0
     # fixed-solver parallel line search candidates (fractions of lr)
     step_candidates: tuple = (1.0, 0.5, 0.1, 0.02)
     # fixed solver: evaluate value_and_grad at all candidates in the one
@@ -59,6 +65,12 @@ class EnergyConfig:
     bone_length: float = 0.01
     weight_3d: float = 0.01
     reproj: float = 0.01
+    # anchor-to-presmoothed-input term (the reference's soft_smooth_energy,
+    # optimizer.py:188-192: each window's input is Gaussian-smoothed,
+    # optimizer.py:382-383, and passed as the solver's third argument —
+    # though the reference never adds the term to total_loss).  > 0 wires
+    # it in; the smoothing sigma is OptimizeConfig.input_smooth_sigma.
+    soft_smooth: float = 0.0
     # cross-window coupling (> 0 switches each stage to ONE joint
     # whole-sequence solve over all window latents; no reference
     # equivalent — enabled by batching the windows)
@@ -115,7 +127,16 @@ class OptimizeConfig:
     # (the adaptive filter the reference imports but never wires in,
     # optimizer.py:30)
     final_smooth_method: str = "gaussian"
+    # sigma of the per-window input pre-smoothing that feeds the
+    # soft-smooth anchor (reference: optimizer.py:382-383); active only
+    # when energy.soft_smooth > 0
     input_smooth_sigma: float = 1.0
+    # heatmap_crop safety guard: when > 0, each launch checks (host-side,
+    # once per chunk) that the peak-centered k x k crops retain at least
+    # this fraction of every map's probability mass; chunks with
+    # multimodal/flattened maps below the threshold fall back to full-map
+    # sampling instead of silently discarding secondary modes
+    heatmap_crop_min_mass: float = 0.90
     merge: bool = True
     compute_dtype: str = "float32"
 

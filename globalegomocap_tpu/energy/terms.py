@@ -37,13 +37,14 @@ class EnergyWeights:
     vae: jnp.ndarray
     reproj: jnp.ndarray
     gmm: jnp.ndarray
+    soft_smooth: jnp.ndarray
 
     @staticmethod
     def create(weight_3d=0.01, smooth=0.001, bone_length=0.01, vae=0.0,
-               reproj=0.01, gmm=0.0) -> "EnergyWeights":
+               reproj=0.01, gmm=0.0, soft_smooth=0.0) -> "EnergyWeights":
         f = lambda v: jnp.asarray(v, dtype=jnp.float32)
         return EnergyWeights(f(weight_3d), f(smooth), f(bone_length),
-                             f(vae), f(reproj), f(gmm))
+                             f(vae), f(reproj), f(gmm), f(soft_smooth))
 
 
 def pose_energy_3d(pose: jnp.ndarray, initial_pose: jnp.ndarray) -> jnp.ndarray:
@@ -203,6 +204,39 @@ def crop_heatmaps(heatmaps: jnp.ndarray, k: int):
     return crops, origins, (h, w)
 
 
+def crop_mass_coverage(heatmaps, k: int):
+    """Host-side guard for `crop_heatmaps`: per-map fraction of total
+    (non-negative) probability mass retained by the k x k peak-centered
+    crop.
+
+    A peak crop is exact for the unimodal Gaussian blobs a Mo2Cap2-style
+    network emits, but silently discards secondary modes of multimodal or
+    occlusion-flattened maps.  The driver evaluates this ONCE per chunk
+    (numpy, host) and falls back to full-map sampling when the mean
+    coverage drops below `OptimizeConfig.heatmap_crop_min_mass`.
+
+    heatmaps: array-like (..., H, W).  Returns per-map coverage ratios in
+    [0, 1] with shape (prod(leading dims),); maps with zero total mass
+    count as fully covered.
+    """
+    import numpy as np
+    m = np.clip(np.asarray(heatmaps, dtype=np.float64), 0.0, None)
+    h, w = m.shape[-2], m.shape[-1]
+    k = min(int(k), h, w)
+    flat = m.reshape(-1, h, w)
+    am = flat.reshape(flat.shape[0], -1).argmax(axis=-1)
+    cy, cx = am // w, am % w
+    oy = np.clip(cy - k // 2, 0, h - k)
+    ox = np.clip(cx - k // 2, 0, w - k)
+    # integral image -> O(1) box sums
+    ii = np.pad(flat, ((0, 0), (1, 0), (1, 0))).cumsum(axis=1).cumsum(axis=2)
+    idx = np.arange(flat.shape[0])
+    box = (ii[idx, oy + k, ox + k] - ii[idx, oy, ox + k]
+           - ii[idx, oy + k, ox] + ii[idx, oy, ox])
+    total = ii[:, -1, -1]
+    return np.where(total > 0, box / np.maximum(total, 1e-300), 1.0)
+
+
 def overlap_consistency_energy(poses: jnp.ndarray,
                                stride: int) -> jnp.ndarray:
     """Cross-window coupling: adjacent sliding windows must agree on their
@@ -233,7 +267,9 @@ def total_energy_from_pose(pose: jnp.ndarray,
                            gmm_score_fn=None,
                            sampling_impl: str = "gather",
                            origins: jnp.ndarray | None = None,
-                           full_hw: tuple | None = None) -> jnp.ndarray:
+                           full_hw: tuple | None = None,
+                           smoothed_pose: jnp.ndarray | None = None
+                           ) -> jnp.ndarray:
     """The total loss of a stage given an already-decoded pose window
     (reference: optimizer.py:226-240).
 
@@ -246,6 +282,12 @@ def total_energy_from_pose(pose: jnp.ndarray,
          + weights.smooth * smooth_acceleration_energy(pose)
          + weights.bone_length * bone_length_energy(pose, mean_bone_length)
          + weights.vae * vae_energy(pose))
+    if smoothed_pose is not None:
+        # anchor to the pre-smoothed input window (the reference's
+        # soft_smooth_energy with the gaussian_filter1d'ed input,
+        # optimizer.py:188-192, 382-383)
+        e = e + weights.soft_smooth * soft_smooth_energy(pose,
+                                                         smoothed_pose)
     if use_reproj:
         e = e + weights.reproj * heatmap_energy(pose, heatmaps, camera,
                                                 sampling_impl, origins,

@@ -56,50 +56,88 @@ class SequenceOptimizer:
             self.local_variables = fold_batchnorm(self.local_variables)
             self.global_variables = fold_batchnorm(self.global_variables)
             self.model = self.model.clone(use_bn=False)
-        self._jitted = make_chunk_optimizer(self.model, self.cfg,
-                                            self._camera)
+        self._jitted = {}
         self._jit_cache = {}
 
+    def _effective_cfg(self, heatmaps) -> OptimizeConfig:
+        """Apply the heatmap-crop mass guard: fall back to full-map
+        sampling when the peak-centered crops would discard real
+        probability mass (multimodal / occlusion-flattened maps).
+
+        Checked once per launch on the host (an integral-image box sum —
+        microseconds next to the solve); see energy.terms.crop_mass_coverage.
+        """
+        cfg = self.cfg
+        if cfg.heatmap_crop <= 0 or cfg.heatmap_crop_min_mass <= 0 \
+                or cfg.energy.reproj == 0.0:
+            return cfg
+        from globalegomocap_tpu.config import with_overrides
+        from globalegomocap_tpu.energy.terms import crop_mass_coverage
+        maps = np.moveaxis(np.asarray(heatmaps), -1, -3)  # (..., 15,H,W)->ok
+        cov = crop_mass_coverage(maps, cfg.heatmap_crop)
+        if float(cov.mean()) < cfg.heatmap_crop_min_mass:
+            return with_overrides(cfg, heatmap_crop=0)
+        return cfg
+
     def optimize_chunk(self, chunk: TestChunk) -> ChunkResult:
-        return self._jitted(
+        heat = jnp.asarray(chunk.heatmaps)
+        cfg = self._effective_cfg(chunk.heatmaps)
+        if cfg.heatmap_crop not in self._jitted:
+            self._jitted[cfg.heatmap_crop] = make_chunk_optimizer(
+                self.model, cfg, self._camera)
+        return self._jitted[cfg.heatmap_crop](
             self.local_variables, self.global_variables,
             jnp.asarray(chunk.estimated_local),
             jnp.asarray(chunk.camera_poses),
-            jnp.asarray(chunk.heatmaps),
+            heat,
             jnp.asarray(chunk.gt_global))
 
     def optimize_chunks_batched(self, chunks: list[TestChunk],
                                 mode: str = "vmap"):
         """Optimize a batch of equal-length chunks in ONE device launch.
 
-        mode='vmap': the whole pipeline vmapped over the chunk axis — the
-        chunk axis shards across available devices (multi-chip path).
+        mode='vmap': the whole pipeline vmapped over the chunk axis.
         mode='flat': all chunks' windows concatenated into one flat solver
         batch — fastest single-chip mode (amortizes the latency-bound
         objective evals; see solver_floor.json).
+
+        In BOTH modes the chunk axis is sharded across all available
+        devices (multi-chip path); in flat mode the concatenated window
+        axis inherits that sharding through the row-major reshape.  A chunk
+        count that does not divide the device count is edge-padded to the
+        next multiple and the padding is sliced off the result — sharding
+        never silently degrades (parallel.mesh.pad_to_multiple).
 
         Returns a ChunkResult whose arrays have a leading chunk axis."""
         from globalegomocap_tpu.optimize.pipeline import (
             optimize_chunks_batched, optimize_chunks_flat)
         from globalegomocap_tpu.parallel.mesh import (
-            make_mesh, replicate, shard_batch)
+            make_mesh, pad_to_multiple, replicate, shard_batch)
 
         est = jnp.stack([jnp.asarray(c.estimated_local) for c in chunks])
         cams = jnp.stack([jnp.asarray(c.camera_poses) for c in chunks])
         heat = jnp.stack([jnp.asarray(c.heatmaps) for c in chunks])
         gt = jnp.stack([jnp.asarray(c.gt_global) for c in chunks])
+        cfg = self._effective_cfg(heat)
 
+        n_chunks = est.shape[0]
         n_dev = len(jax.devices())
-        key = ("batched", mode, est.shape, n_dev)
+        if n_dev > 1:
+            est, _ = pad_to_multiple(est, n_dev)
+            cams, _ = pad_to_multiple(cams, n_dev)
+            heat, _ = pad_to_multiple(heat, n_dev)
+            gt, _ = pad_to_multiple(gt, n_dev)
+
+        key = ("batched", mode, est.shape, n_dev, cfg.heatmap_crop)
         if key not in self._jit_cache:
             pipeline_fn = (optimize_chunks_flat if mode == "flat"
                            else optimize_chunks_batched)
 
             def run(lv, gv, est, cams, heat, gt):
                 return pipeline_fn(self.model, lv, gv, est, cams, heat,
-                                   gt, self._camera, self.cfg)
+                                   gt, self._camera, cfg)
 
-            if mode == "vmap" and n_dev > 1 and len(chunks) % n_dev == 0:
+            if n_dev > 1:
                 mesh = make_mesh()
                 repl = replicate(mesh)
                 sh = shard_batch(mesh)
@@ -107,9 +145,12 @@ class SequenceOptimizer:
                     run, in_shardings=(repl, repl, sh, sh, sh, sh))
             else:
                 self._jit_cache[key] = jax.jit(run)
-        return self._jit_cache[key](self.local_variables,
-                                    self.global_variables,
-                                    est, cams, heat, gt)
+        res = self._jit_cache[key](self.local_variables,
+                                   self.global_variables,
+                                   est, cams, heat, gt)
+        if res.estimated.shape[0] != n_chunks:
+            res = jax.tree_util.tree_map(lambda x: x[:n_chunks], res)
+        return res
 
     def run(self, chunk: TestChunk, with_metrics: bool = True):
         """Optimize one chunk and (optionally) evaluate.

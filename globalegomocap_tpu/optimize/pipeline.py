@@ -51,10 +51,11 @@ def stage_weights(cfg: OptimizeConfig):
     e = cfg.energy
     global_w = EnergyWeights.create(
         weight_3d=e.weight_3d, smooth=e.smooth, bone_length=0.01,
-        vae=e.vae, reproj=0.0, gmm=e.gmm)
+        vae=e.vae, reproj=0.0, gmm=e.gmm, soft_smooth=e.soft_smooth)
     local_w = EnergyWeights.create(
         weight_3d=e.weight_3d / 1e4, smooth=e.smooth / 100.0,
-        bone_length=e.bone_length, vae=e.vae, reproj=e.reproj, gmm=e.gmm)
+        bone_length=e.bone_length, vae=e.vae, reproj=e.reproj, gmm=e.gmm,
+        soft_smooth=e.soft_smooth)
     return local_w, global_w
 
 
@@ -101,10 +102,23 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
         heatmaps, origins, full_hw = crop_heatmaps(heatmaps,
                                                    cfg.heatmap_crop)
 
-    # deterministic latent init: encoder mean (one batched call for all
-    # windows; the reference encodes per-window and samples stochastically,
-    # optimizer.py:257 — mu-init removes that nondeterminism, SURVEY §7)
-    mu, _ = model.apply(variables, flat, False, method=ConvVAE.encode)
+    # latent init (one batched encode for all windows): the default is the
+    # deterministic encoder mean; init='sample' reproduces the reference's
+    # reparameterized-sample init (optimizer.py:257, SeqConvVAE.py:159-169)
+    # keyed by cfg.solver.init_seed
+    mu, log_var = model.apply(variables, flat, False,
+                              method=ConvVAE.encode)
+    if cfg.solver.init == "sample":
+        from globalegomocap_tpu.models.conv_vae import reparameterize
+        mu = reparameterize(mu, log_var,
+                            jax.random.PRNGKey(cfg.solver.init_seed))
+
+    smoothed = None
+    if float(cfg.energy.soft_smooth) > 0.0:
+        # pre-smoothed anchor for the soft-smooth term (reference:
+        # optimizer.py:382-383 smooths each window's input over time)
+        smoothed = gaussian_filter1d(init_pose, cfg.input_smooth_sigma,
+                                     axis=1)
 
     if cfg.dense_decoder:
         # decoder as a banded-matmul chain: fewer kernels per objective
@@ -123,13 +137,17 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     if cfg.solver.remat:
         decode = jax.checkpoint(decode)
 
-    def solve_one(z0, anchor, heat, bl, org):
+    # vmap in_axes for the optional per-window context (None = absent)
+    ax_org = 0 if origins is not None else None
+    ax_sm = 0 if smoothed is not None else None
+
+    def solve_one(z0, anchor, heat, bl, org, sm):
         def loss(z):
             pose = decode(z).astype(jnp.float32)
             return total_energy_from_pose(
                 pose, anchor, bl, heat, camera, weights, use_reproj,
                 sampling_impl=cfg.sampling_impl, origins=org,
-                full_hw=full_hw)
+                full_hw=full_hw, smoothed_pose=sm)
         return _solve(cfg, loss, z0)
 
     coupling = float(cfg.energy.overlap_consistency)
@@ -150,30 +168,21 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
 
         def joint_loss(z_flat):
             poses = decode_all(z_flat)              # (W, T, 15, 3)
-            if origins is None:
-                per_window = jax.vmap(
-                    lambda p, a, h, b: total_energy_from_pose(
-                        p, a, b, h, camera, weights, use_reproj,
-                        sampling_impl=cfg.sampling_impl))(
-                    poses, init_pose, heatmaps, mean_bl)
-            else:
-                per_window = jax.vmap(
-                    lambda p, a, h, b, o: total_energy_from_pose(
-                        p, a, b, h, camera, weights, use_reproj,
-                        sampling_impl=cfg.sampling_impl, origins=o,
-                        full_hw=full_hw))(
-                    poses, init_pose, heatmaps, mean_bl, origins)
+            per_window = jax.vmap(
+                lambda p, a, h, b, o, s: total_energy_from_pose(
+                    p, a, b, h, camera, weights, use_reproj,
+                    sampling_impl=cfg.sampling_impl, origins=o,
+                    full_hw=full_hw, smoothed_pose=s),
+                in_axes=(0, 0, 0, 0, ax_org, ax_sm))(
+                poses, init_pose, heatmaps, mean_bl, origins, smoothed)
             couple = overlap_consistency_energy(poses, cfg.window.stride)
             return jnp.sum(per_window) + coupling * couple
 
         z_star = _solve(cfg, joint_loss, mu.reshape(-1)).reshape(w, latent)
-    elif origins is None:
-        z_star = jax.vmap(
-            lambda z0, a, h, b: solve_one(z0, a, h, b, None))(
-            mu, init_pose, heatmaps, mean_bl)
     else:
-        z_star = jax.vmap(solve_one)(mu, init_pose, heatmaps, mean_bl,
-                                     origins)
+        z_star = jax.vmap(solve_one,
+                          in_axes=(0, 0, 0, 0, ax_org, ax_sm))(
+            mu, init_pose, heatmaps, mean_bl, origins, smoothed)
 
     return decode_batch(z_star)
 

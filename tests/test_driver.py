@@ -43,14 +43,17 @@ def test_natural_sort(seq_dir):
     assert names == ["30_end_60", "100_end_130", "200_end_230"]
 
 
-def test_batched_multi_chunk(optimizer):
-    """One launch over several equal-length chunks (chunk axis sharded on
-    the 8-device CPU mesh) gives the same results as per-chunk calls."""
+def test_batched_multi_chunk_sharded_nondivisible(optimizer):
+    """One launch over SEVEN equal-length chunks on the 8-device CPU mesh:
+    the chunk axis is edge-padded to the device multiple, sharded, and the
+    padding sliced off — results must equal per-chunk calls (sharding never
+    silently degrades on non-divisible chunk counts)."""
     from globalegomocap_tpu.data.synthetic import synthetic_chunk
-    chunks = [synthetic_chunk(n_frames=26, seed=s) for s in range(8)]
+    assert len(jax.devices()) == 8  # conftest forces the 8-device mesh
+    chunks = [synthetic_chunk(n_frames=26, seed=s) for s in range(7)]
     batched = optimizer.optimize_chunks_batched(chunks)
     # 26 frames -> windows at 0/8/16, covered = 16 + 10 = 26
-    assert batched.optimized.shape == (8, 26, 15, 3)
+    assert batched.optimized.shape == (7, 26, 15, 3)
     for i, c in enumerate(chunks):
         single = optimizer.optimize_chunk(c)
         np.testing.assert_allclose(np.asarray(batched.optimized[i]),
@@ -62,7 +65,9 @@ def test_flat_multi_chunk_matches_per_chunk(optimizer):
     """The flat (concatenated window batch) mode must produce the same
     results as per-chunk optimization — the window problems are identical,
     only the launch granularity differs (solver trajectories coincide
-    because the fixed solver's control flow is per-lane)."""
+    because the fixed solver's control flow is per-lane).  C=3 on the
+    8-device mesh also exercises the pad-to-multiple sharding of the
+    fastest mode."""
     from globalegomocap_tpu.data.synthetic import synthetic_chunk
     chunks = [synthetic_chunk(n_frames=26, seed=s) for s in (21, 22, 23)]
     flat = optimizer.optimize_chunks_batched(chunks, mode="flat")

@@ -53,7 +53,7 @@ def test_cropped_energy_matches_full():
     maps = jnp.asarray(_blob_maps(rng))
     cam = fisheye.default_camera("egosyn")
     pose = jnp.asarray(rng.normal(size=(10, 15, 3)).astype(np.float32)
-                       * 0.3 + np.array([0, 0, -1.5], np.float32))
+                       * 0.3 + np.array([0, 0, 1.5], np.float32))
 
     e_full = float(heatmap_energy(pose, maps, cam))
     crops, origins, full_hw = crop_heatmaps(maps, 16)
@@ -77,13 +77,110 @@ def test_crop_dense_impl_matches_gather():
     maps = jnp.asarray(_blob_maps(rng, t=4, j=3))
     cam = fisheye.default_camera("egosyn")
     pose = jnp.asarray(rng.normal(size=(4, 3, 3)).astype(np.float32)
-                       * 0.3 + np.array([0, 0, -1.5], np.float32))
+                       * 0.3 + np.array([0, 0, 1.5], np.float32))
     crops, origins, full_hw = crop_heatmaps(maps, 16)
     a = float(heatmap_energy(pose, crops, cam, impl="gather",
                              origins=origins, full_hw=full_hw))
     b = float(heatmap_energy(pose, crops, cam, impl="dense",
                              origins=origins, full_hw=full_hw))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def _bimodal_maps(rng, t=4, j=3, hw=64, sigma=1.5):
+    """Two equal-mass Gaussian blobs per map, far apart — the multimodal
+    shape real occluded Mo2Cap2 heatmaps can take."""
+    a = _blob_maps(rng, t=t, j=j, hw=hw, sigma=sigma)
+    b = _blob_maps(np.random.default_rng(rng.integers(1 << 30)),
+                   t=t, j=j, hw=hw, sigma=sigma)
+    return a + b
+
+
+def test_crop_mass_coverage_metric():
+    """crop_mass_coverage separates unimodal, multimodal and flattened
+    maps (the guard's decision statistic)."""
+    from globalegomocap_tpu.energy.terms import crop_mass_coverage
+    rng = np.random.default_rng(7)
+    blob = _blob_maps(rng, t=4, j=3)
+    assert crop_mass_coverage(blob, 16).min() > 0.99
+    # two equal blobs: the peak crop holds about half the mass
+    bim = _bimodal_maps(np.random.default_rng(8))
+    cov = crop_mass_coverage(bim, 16)
+    assert cov.mean() < 0.75
+    # flattened map: coverage ~ k^2 / (H*W)
+    flat = np.ones((2, 2, 64, 64), np.float32)
+    cov_f = crop_mass_coverage(flat, 16)
+    np.testing.assert_allclose(cov_f, (16 * 16) / (64 * 64), rtol=1e-6)
+    # k = map size is always full coverage
+    assert crop_mass_coverage(bim, 64).min() == 1.0
+
+
+def test_crop_misses_secondary_mode_drift():
+    """Documents WHY the guard exists: when the argmax sits on a decoy
+    mode away from where the solver samples, the peak crop silently
+    discards the sampled mass — the cropped energy drifts far from the
+    full-map energy at both k=8 and k=16."""
+    rng = np.random.default_rng(9)
+    t, j = 4, 3
+    cam = fisheye.default_camera("egosyn")
+    pose = jnp.asarray(rng.normal(size=(t, j, 3)).astype(np.float32)
+                       * 0.3 + np.array([0, 0, 1.5], np.float32))
+    # blob A at the projected joints (what the solver samples), decoy
+    # blob B slightly taller in a far corner (wins the argmax)
+    from globalegomocap_tpu.energy.terms import (
+        crop_mass_coverage, project_to_heatmap_grid)
+    grid = np.asarray(project_to_heatmap_grid(pose.reshape(-1, 3), cam))
+    px = (grid[:, 0] + 1) * 0.5 * 63
+    py = (grid[:, 1] + 1) * 0.5 * 63
+    ys, xs = np.mgrid[0:64, 0:64]
+    a = np.exp(-(((ys[None] - py[:, None, None]) ** 2
+                  + (xs[None] - px[:, None, None]) ** 2) / (2 * 1.5 ** 2)))
+    decoy_y, decoy_x = 5.0, 5.0
+    b = 1.001 * np.exp(-(((ys - decoy_y) ** 2 + (xs - decoy_x) ** 2)
+                         / (2 * 1.5 ** 2)))
+    maps = jnp.asarray((a + b[None]).reshape(t, j, 64, 64)
+                       .astype(np.float32))
+
+    e_full = float(heatmap_energy(pose, maps, cam))
+    for k in (8, 16):
+        crops, origins, full_hw = crop_heatmaps(maps, k)
+        e_crop = float(heatmap_energy(pose, crops, cam, origins=origins,
+                                      full_hw=full_hw))
+        # the crop lost most of the sampled signal
+        assert abs(e_crop - e_full) > 0.3 * abs(e_full), (k, e_full, e_crop)
+    # ... and the coverage guard catches exactly this situation
+    assert crop_mass_coverage(np.asarray(maps), 16).mean() < 0.75
+
+
+def test_crop_guard_falls_back_on_multimodal():
+    """The driver's per-launch mass guard keeps the crop for blob maps and
+    falls back to full-map sampling for multimodal chunks."""
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, SolverConfig, PriorConfig)
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model)
+
+    cfg = OptimizeConfig(
+        prior=PriorConfig(latent_dim=16, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(max_iter=2, history_size=2),
+        heatmap_crop=16)  # heatmap_crop_min_mass defaults to 0.90
+    model = build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    opt = SequenceOptimizer(model, v, v, cfg)
+
+    chunk = synthetic_chunk(n_frames=26, seed=3)
+    assert opt._effective_cfg(chunk.heatmaps).heatmap_crop == 16
+
+    # graft a second mode onto every map -> fallback to full maps
+    bim = chunk.heatmaps + np.roll(chunk.heatmaps, 32, axis=1)
+    assert opt._effective_cfg(bim).heatmap_crop == 0
+
+    # guard disabled -> crop kept regardless
+    from globalegomocap_tpu.config import with_overrides
+    opt2 = SequenceOptimizer(model, v, v,
+                             with_overrides(cfg, heatmap_crop_min_mass=0.0))
+    assert opt2._effective_cfg(bim).heatmap_crop == 16
 
 
 def test_heatmap_crop_in_pipeline():
