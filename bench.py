@@ -40,6 +40,10 @@ MODE = os.environ.get("BENCH_MODE", "flat")
 # eval — see models/dense_decoder.py and tests/test_dense_decoder.py);
 # measured 529 vs 504 windows/s on 1x v5e, so default ON
 DENSE_DECODER = os.environ.get("BENCH_DENSE_DECODER", "1") == "1"
+# '' | 'conv' | 'dense' | 'shift' — overrides DENSE_DECODER when set
+DECODER_IMPL = os.environ.get("BENCH_DECODER_IMPL", "")
+# 'bfloat16' halves dense/shift decoder weight streaming
+DECODER_DTYPE = os.environ.get("BENCH_DECODER_DTYPE", "float32")
 # fixed solver: fold the accepted-point value_and_grad into the candidate
 # probe batch (identical trajectory, fewer latency-bound evals);
 # measured 561 vs 529 windows/s on 1x v5e, so default ON
@@ -63,6 +67,12 @@ HEATMAP_CROP = int(os.environ.get("BENCH_HEATMAP_CROP", "16"))
 # measured by scripts/measure_torch_baseline.py on this machine; see
 # BASELINE.md.  Used when baseline_torch.json is absent.
 FALLBACK_BASELINE_WINDOWS_PER_SEC = 0.29
+
+# MFU accounting: XLA cost analysis of the compiled program gives total
+# FLOPs per launch; achieved FLOP/s / peak = MFU.  v5e peak is 197 TFLOPS
+# bf16 (the default TPU matmul precision); override for other chips.
+MFU = os.environ.get("BENCH_MFU", "1") == "1"
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
 
 
 def load_baseline() -> float:
@@ -93,6 +103,8 @@ def main():
         sampling_impl=SAMPLING,
         fold_bn=FOLD_BN,
         dense_decoder=DENSE_DECODER,
+        decoder_impl=DECODER_IMPL,
+        decoder_dtype=DECODER_DTYPE,
         heatmap_dtype=HEATMAP_DTYPE,
         heatmap_crop=HEATMAP_CROP,
     )
@@ -134,12 +146,41 @@ def main():
     best = min(times)
     wps = wins / best
     baseline = load_baseline()
-    print(json.dumps({
+    record = {
         "metric": "two_stage_latent_optimization_throughput",
         "value": round(wps, 3),
         "unit": "windows/s",
         "vs_baseline": round(wps / baseline, 3),
-    }))
+    }
+
+    if MFU and MODE in ("batched", "flat"):
+        # roofline accounting from the compiled executable itself: the
+        # driver's jit cache holds the already-compiled program — lower
+        # the same (function, shapes) pair and read XLA's cost analysis
+        # (hits the in-process pjit cache; no second device compile).
+        try:
+            jitted = next(v for k, v in opt._jit_cache.items()
+                          if isinstance(k, tuple) and k[0] == "batched")
+            est = jnp.stack([c.estimated_local for c in chunks])
+            cams = jnp.stack([c.camera_poses for c in chunks])
+            heat = jnp.stack([c.heatmaps for c in chunks])
+            gt = jnp.stack([c.gt_global for c in chunks])
+            ca = jitted.lower(opt.local_variables, opt.global_variables,
+                              est, cams, heat, gt).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            byt = float(ca.get("bytes accessed", 0.0))
+            if flops > 0:
+                record["tflops_per_s"] = round(flops / best / 1e12, 2)
+                record["mfu_vs_bf16_peak"] = round(
+                    flops / best / (PEAK_TFLOPS * 1e12), 4)
+            if byt > 0:
+                record["hbm_gb_per_s"] = round(byt / best / 1e9, 1)
+        except Exception:
+            pass  # cost analysis is best-effort; never break the bench
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -52,6 +52,9 @@ def main(argv=None):
         heatmap_crop=args.heatmap_crop,
         fold_bn=args.fold_bn,
         dense_decoder=args.dense_decoder,
+        decoder_impl=args.decoder_impl,
+        decoder_dtype=args.decoder_dtype,
+        heatmap_crop_min_mass=args.heatmap_crop_min_mass,
         camera=args.camera, final_smooth=args.final_smooth,
         final_smooth_method=args.final_smooth_method,
         merge=args.merge)

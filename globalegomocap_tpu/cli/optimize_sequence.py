@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dense_decoder", default=False, type=str2bool,
                    help="run the decoder as a banded-matmul chain (exact; "
                         "fewer kernels per objective eval)")
+    p.add_argument("--decoder_impl", default="",
+                   choices=["", "conv", "dense", "shift"],
+                   help="decoder implementation override ('' derives from "
+                        "--dense_decoder)")
+    p.add_argument("--decoder_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="dense/shift decoder weight storage dtype")
     p.add_argument("--overlap_consistency", default=0.0, type=float,
                    help="cross-window coupling weight (joint "
                         "whole-sequence solve when > 0)")
@@ -135,6 +142,8 @@ def main(argv=None):
         input_smooth_sigma=args.input_smooth_sigma,
         fold_bn=args.fold_bn,
         dense_decoder=args.dense_decoder,
+        decoder_impl=args.decoder_impl,
+        decoder_dtype=args.decoder_dtype,
         camera=args.camera,
         final_smooth=args.final_smooth,
         final_smooth_method=args.final_smooth_method,

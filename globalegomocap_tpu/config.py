@@ -121,6 +121,15 @@ class OptimizeConfig:
     # instead of conv+bias+activation kernels; exact re-association of the
     # k=3/stride-1 conv stack — see models/dense_decoder.py)
     dense_decoder: bool = False
+    # decoder implementation override: '' (derive from dense_decoder),
+    # 'conv' (flax conv stack), 'dense' (banded matmuls), 'shift'
+    # (3 shift-matmuls per layer — band-matmul kernel economy without its
+    # FLOP/weight-traffic inflation; see models/dense_decoder.py)
+    decoder_impl: str = ""
+    # storage dtype of the dense/shift decoder weights: 'bfloat16' halves
+    # their HBM streaming at unchanged MXU matmul precision (the TPU
+    # default matmul precision is bf16 anyway); outputs stay float32
+    decoder_dtype: str = "float32"
     final_smooth: bool = True
     final_smooth_sigma: float = 1.0
     # 'gaussian' (reference behaviour, optimizer.py:448-450) or 'one_euro'

@@ -237,6 +237,23 @@ def crop_mass_coverage(heatmaps, k: int):
     return np.where(total > 0, box / np.maximum(total, 1e-300), 1.0)
 
 
+def crop_coverage_mean(heatmaps: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Device-side guard statistic: MEAN fraction of (non-negative) map
+    mass retained by the k x k peak-centered crops.
+
+    Same quantity as `crop_mass_coverage(...).mean()` but computed on
+    device (one tiny launch, one scalar readback) so the per-launch guard
+    costs microseconds instead of a full host transfer of the heatmap
+    stack.  heatmaps: (..., H, W).
+    """
+    m = jnp.clip(heatmaps.astype(jnp.float32), 0.0, None)
+    crops, _, _ = crop_heatmaps(m, k)
+    box = jnp.sum(crops, axis=(-2, -1))
+    total = jnp.sum(m, axis=(-2, -1))
+    ratio = jnp.where(total > 0, box / jnp.maximum(total, 1e-30), 1.0)
+    return jnp.mean(ratio)
+
+
 def overlap_consistency_energy(poses: jnp.ndarray,
                                stride: int) -> jnp.ndarray:
     """Cross-window coupling: adjacent sliding windows must agree on their

@@ -50,7 +50,7 @@ def _conv_band_matrix(kernel: jnp.ndarray, bias: jnp.ndarray,
     return w, b
 
 
-def make_dense_decoder(model: ConvVAE, variables):
+def make_dense_decoder(model: ConvVAE, variables, compute_dtype=None):
     """Build `decode_to_bodypose(z: (B, latent)) -> (B, T, 15, 3)` as a
     pure matmul chain from a ConvVAE's variables.
 
@@ -58,12 +58,18 @@ def make_dense_decoder(model: ConvVAE, variables):
     folded here if running statistics are present.  Safe to call inside a
     jit trace: the band-matrix construction is loop-invariant, so solvers
     built on the returned closure hoist it out of their iteration loop.
+
+    compute_dtype=bfloat16 stores the band matrices (the dominant HBM
+    traffic of every eval: ~72 MB of bands at full size) in bf16; the MXU
+    computes f32-in matmuls at bf16 precision anyway (the TPU default), so
+    this halves weight streaming at unchanged matmul precision.  The
+    returned poses are always float32.
     """
     if variables.get("batch_stats"):
         variables = fold_batchnorm(variables)
     params = variables["params"]
     t = model.seq_len
-    dtype = model.dtype
+    dtype = compute_dtype if compute_dtype is not None else model.dtype
 
     din = params["decoder_input"]
     first_w = din["kernel"].astype(dtype)      # (latent, T*rev0)
@@ -85,6 +91,63 @@ def make_dense_decoder(model: ConvVAE, variables):
         for w, b in mid:
             h = jax.nn.leaky_relu(h @ w + b, negative_slope=0.01)
         h = h @ last_w + last_b
-        return h.reshape(-1, t, out_ch // 3, 3)
+        return h.astype(jnp.float32).reshape(-1, t, out_ch // 3, 3)
+
+    return decode_to_bodypose
+
+
+def make_shift_decoder(model: ConvVAE, variables, compute_dtype=None):
+    """`decode_to_bodypose` as SHIFT-MATMULS: each k=3/stride-1 conv layer
+    is computed as three (B*T, C_in) x (C_in, C_out) matmuls over the
+    -1/0/+1 time shifts of the padded sequence.
+
+    Same re-association family as the band matrices of
+    `make_dense_decoder`, but without their FLOP inflation: the band
+    matmul spends T/k = ~3.3x the FLOPs and streams T*T/k ~ 33x the
+    weight bytes of the underlying conv (72 MB of bands vs ~2.6 MB of raw
+    kernels at full size, per objective eval).  The shifted formulation
+    keeps the MXU matmul large (rows = B*T) while touching only the true
+    kernel weights — strictly less HBM traffic AND fewer FLOPs, at the
+    cost of ~3 fused kernels per layer instead of 1.
+
+    Exact to float tolerance vs the conv stack (tests/test_dense_decoder).
+    """
+    if variables.get("batch_stats"):
+        variables = fold_batchnorm(variables)
+    params = variables["params"]
+    t = model.seq_len
+    dtype = compute_dtype if compute_dtype is not None else model.dtype
+
+    din = params["decoder_input"]
+    first_w = din["kernel"].astype(dtype)      # (latent, T*rev0)
+    first_b = din["bias"].astype(dtype)
+    rev0 = tuple(reversed(model.hidden_dims))[0]
+
+    layers = []
+    n_dec = len(model.hidden_dims) - 1
+    for name in [f"dec_{i}" for i in range(n_dec)] + ["final_block",
+                                                      "final_conv"]:
+        p = params[name]["conv"] if "conv" in params.get(name, {}) else \
+            params[name]
+        layers.append((p["kernel"].astype(dtype),      # (3, Cin, Cout)
+                       p["bias"].astype(dtype)))
+
+    def conv_layer(h, kernel, bias):
+        """h: (B, T, Cin) -> (B, T, Cout), SAME-padded k=3 stride-1."""
+        hp = jnp.pad(h, ((0, 0), (1, 1), (0, 0)))
+        out = (jnp.einsum("btc,cd->btd", hp[:, :-2], kernel[0])
+               + jnp.einsum("btc,cd->btd", hp[:, 1:-1], kernel[1])
+               + jnp.einsum("btc,cd->btd", hp[:, 2:], kernel[2]))
+        return out + bias
+
+    out_ch = model.out_channels
+
+    def decode_to_bodypose(z: jnp.ndarray) -> jnp.ndarray:
+        h = (z.astype(dtype) @ first_w + first_b).reshape(-1, t, rev0)
+        for kernel, bias in layers[:-1]:
+            h = jax.nn.leaky_relu(conv_layer(h, kernel, bias),
+                                  negative_slope=0.01)
+        h = conv_layer(h, *layers[-1])
+        return h.astype(jnp.float32).reshape(-1, t, out_ch // 3, 3)
 
     return decode_to_bodypose

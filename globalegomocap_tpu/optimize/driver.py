@@ -64,18 +64,23 @@ class SequenceOptimizer:
         sampling when the peak-centered crops would discard real
         probability mass (multimodal / occlusion-flattened maps).
 
-        Checked once per launch on the host (an integral-image box sum —
-        microseconds next to the solve); see energy.terms.crop_mass_coverage.
-        """
+        Checked once per launch ON DEVICE (a reduction over the resident
+        maps + one scalar readback — microseconds next to the solve);
+        see energy.terms.crop_coverage_mean / crop_mass_coverage."""
         cfg = self.cfg
         if cfg.heatmap_crop <= 0 or cfg.heatmap_crop_min_mass <= 0 \
                 or cfg.energy.reproj == 0.0:
             return cfg
         from globalegomocap_tpu.config import with_overrides
-        from globalegomocap_tpu.energy.terms import crop_mass_coverage
-        maps = np.moveaxis(np.asarray(heatmaps), -1, -3)  # (..., 15,H,W)->ok
-        cov = crop_mass_coverage(maps, cfg.heatmap_crop)
-        if float(cov.mean()) < cfg.heatmap_crop_min_mass:
+        from globalegomocap_tpu.energy.terms import crop_coverage_mean
+        key = ("crop_guard", cfg.heatmap_crop)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                # storage layout (..., H, W, J) -> (..., J, H, W)
+                lambda h: crop_coverage_mean(jnp.moveaxis(h, -1, -3),
+                                             cfg.heatmap_crop))
+        cov = float(self._jit_cache[key](jnp.asarray(heatmaps)))
+        if cov < cfg.heatmap_crop_min_mass:
             return with_overrides(cfg, heatmap_crop=0)
         return cfg
 

@@ -120,12 +120,20 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
         smoothed = gaussian_filter1d(init_pose, cfg.input_smooth_sigma,
                                      axis=1)
 
-    if cfg.dense_decoder:
+    impl = cfg.decoder_impl or ("dense" if cfg.dense_decoder else "conv")
+    ddtype = jnp.bfloat16 if cfg.decoder_dtype == "bfloat16" else None
+    if impl == "dense":
         # decoder as a banded-matmul chain: fewer kernels per objective
         # eval, which is the binding constraint (solver_floor.json)
         from globalegomocap_tpu.models.dense_decoder import (
             make_dense_decoder)
-        decode_batch = make_dense_decoder(model, variables)
+        decode_batch = make_dense_decoder(model, variables, ddtype)
+    elif impl == "shift":
+        # 3 shift-matmuls per layer: band-matmul kernel economy without
+        # the band's FLOP/weight-traffic inflation
+        from globalegomocap_tpu.models.dense_decoder import (
+            make_shift_decoder)
+        decode_batch = make_shift_decoder(model, variables, ddtype)
     else:
         def decode_batch(z):
             return model.apply(variables, z, False,

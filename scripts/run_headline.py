@@ -43,10 +43,19 @@ def main():
     seqs = synthetic_amass(n_sequences=10, frames_per_seq=250, seed=5)
 
     def train(local_pose):
-        epochs = int(os.environ.get("HEADLINE_EPOCHS", "8"))
+        # On this small synthetic corpus the reference's real-AMASS
+        # kl_weight (0.5) posterior-collapses the prior: its reconstruction
+        # MPJPE (~0.09) then EXCEEDS the injected estimation noise (~0.048),
+        # so decoding through it hurt the raw-global metrics (round-1
+        # headline regression).  A weaker KL + more epochs trains the prior
+        # below the noise floor, which is the regime the reference's
+        # released checkpoints are in on real AMASS.
+        epochs = int(os.environ.get("HEADLINE_EPOCHS", "16"))
+        kl = float(os.environ.get("HEADLINE_KL", "0.05"))
+        lr = float(os.environ.get("HEADLINE_LR", "1e-3"))
         cfg = TrainConfig(latent_dim=2048, seq_length=10, epochs=epochs,
-                          batch_size=64, kl_weight=0.5,
-                          learning_rate=1e-3, log_step=0)
+                          batch_size=64, kl_weight=kl,
+                          learning_rate=lr, log_step=0)
         ds = AmassWindows.from_sequences(seqs, frame_num=10,
                                          local_pose=local_pose)
         trainer = Trainer(cfg, ds, AmassWindows(ds.windows[::17]),
@@ -104,12 +113,34 @@ def main():
 
     print("=== overall ===")
     keys = next(iter(overall.values())).keys()
+    mean = {k: np.mean([v[k] for v in overall.values()], axis=0)
+            for k in keys}
     for k in keys:
         if k != "joints_error":
-            print(f"{k}: {np.mean([v[k] for v in overall.values()]):.5f}")
+            print(f"{k}: {float(mean[k]):.5f}")
     print(f"optimization throughput: {meter.report()}")
     print(f"total optimization wall-clock: {meter.total_seconds:.2f}s "
           f"for 25 chunks / 300 windows / 5 sequences")
+
+    # regression tripwires: the flagship run must improve the paper's
+    # headline quantities — pose error IN GLOBAL SPACE and the hip-midpoint
+    # ("camera") trajectory error (reference: calculate_errors.py:116-121)
+    # — not only the aligned variants.  HEADLINE_ASSERT=0 skips (for
+    # ablation experiments).
+    if os.environ.get("HEADLINE_ASSERT", "1") != "0":
+        checks = [
+            ("optimized_global_mpjpe", "original_global_mpjpe"),
+            ("optimized_camera_pos_error", "original_camera_pos_error"),
+            ("aligned_optimized_mpjpe", "aligned_original_mpjpe"),
+            ("bone_length_aligned_optimized_mpjpe",
+             "bone_length_aligned_original_mpjpe"),
+        ]
+        for opt_k, orig_k in checks:
+            assert float(mean[opt_k]) < float(mean[orig_k]), (
+                f"HEADLINE REGRESSION: {opt_k}={float(mean[opt_k]):.5f} "
+                f"not better than {orig_k}={float(mean[orig_k]):.5f}")
+        print("headline quality tripwires: PASS "
+              "(raw global, camera trajectory, aligned, bone-aligned)")
 
 
 if __name__ == "__main__":

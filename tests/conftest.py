@@ -19,4 +19,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall-clock on this 1-core box
+# is dominated by serial XLA compiles; caching makes reruns much faster
+# (first/cold run is unchanged).  Safe to delete the dir at any time.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_test_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

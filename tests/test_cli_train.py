@@ -34,6 +34,7 @@ def test_train_cli(amass_dir, tmp_path, monkeypatch):
     assert "0.msgpack" in ckpts and "0.json" in ckpts
 
 
+@pytest.mark.slow
 def test_train_cli_hdf5_and_resume(amass_dir, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from globalegomocap_tpu.data.hdf5 import pack_amass_dir
@@ -98,6 +99,7 @@ def test_hdf5_stream_epoch_batches(amass_dir, tmp_path):
     a.close(); b.close(); stream.close()
 
 
+@pytest.mark.slow
 def test_train_cli_hdf5_stream_orbax(amass_dir, tmp_path, monkeypatch):
     """Streaming HDF5 training with Orbax epoch checkpoints + resume."""
     monkeypatch.chdir(tmp_path)

@@ -3,6 +3,7 @@ stay finite (their perf characteristics are measured on hardware; these
 guard the code paths)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -49,6 +50,7 @@ def test_one_euro_final_smoother():
         errors_g["optimized_global_mpjpe"]
 
 
+@pytest.mark.slow
 def test_remat_matches_plain():
     cfg_plain = OptimizeConfig(prior=PRIOR,
                                solver=SolverConfig(method="lbfgs_fixed",

@@ -44,6 +44,59 @@ def test_dense_decode_matches_conv():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_shift_decode_matches_conv():
+    """The shift-matmul decoder is exact vs the conv stack (values), from
+    both raw-BN and pre-folded variables."""
+    from globalegomocap_tpu.models.dense_decoder import make_shift_decoder
+    model = ConvVAE(latent_dim=24, seq_len=10, hidden_dims=HIDDEN)
+    v = _warmed_variables(model, seed=7)
+    rng = np.random.default_rng(8)
+    z = jnp.asarray(rng.normal(size=(5, 24)).astype(np.float32))
+
+    ref = model.apply(v, z, False, method=ConvVAE.decode_to_bodypose)
+    shift = make_shift_decoder(model, v)(z)
+    np.testing.assert_allclose(np.asarray(shift), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    folded = fold_batchnorm(v)
+    model_nb = ConvVAE(latent_dim=24, seq_len=10, hidden_dims=HIDDEN,
+                       use_bn=False)
+    shift2 = make_shift_decoder(model_nb, folded)(z)
+    np.testing.assert_allclose(np.asarray(shift2), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # bf16 weight storage stays within bf16 rounding of the f32 result
+    bf = make_shift_decoder(model, v, jnp.bfloat16)(z)
+    assert bf.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_shift_decoder_in_pipeline():
+    """cfg.decoder_impl='shift' produces near-identical chunk results."""
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, SolverConfig, PriorConfig)
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model)
+
+    prior = PriorConfig(latent_dim=16, seq_len=10, hidden_dims=HIDDEN)
+    solver = SolverConfig(method="lbfgs_fixed", max_iter=3, history_size=3)
+    cfg0 = OptimizeConfig(prior=prior, solver=solver)
+    cfg1 = OptimizeConfig(prior=prior, solver=solver, fold_bn=True,
+                          decoder_impl="shift")
+
+    model = build_model(cfg0)
+    v = _warmed_variables(
+        ConvVAE(latent_dim=16, seq_len=10, hidden_dims=HIDDEN), seed=9)
+    chunk = synthetic_chunk(n_frames=26, seed=2)
+    r0 = SequenceOptimizer(model, v, v, cfg0).optimize_chunk(chunk)
+    r1 = SequenceOptimizer(model, v, v, cfg1).optimize_chunk(chunk)
+    np.testing.assert_allclose(np.asarray(r1.optimized),
+                               np.asarray(r0.optimized),
+                               rtol=1e-2, atol=2e-4)
+
+
 def test_dense_decode_gradient_matches():
     model = ConvVAE(latent_dim=16, seq_len=10, hidden_dims=HIDDEN)
     v = _warmed_variables(model, seed=2)

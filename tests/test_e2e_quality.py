@@ -9,6 +9,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# trained-prior e2e: minutes of prior training on the 1-core box
+pytestmark = pytest.mark.slow
+
 from globalegomocap_tpu.config import (
     OptimizeConfig, SolverConfig, PriorConfig, TrainConfig, EnergyConfig,
     with_overrides)

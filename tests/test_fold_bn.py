@@ -1,6 +1,7 @@
 """BatchNorm folding must be exact for eval-mode encode/decode."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -38,6 +39,7 @@ def test_folding_exact():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fold_bn_in_pipeline():
     """cfg.fold_bn=True produces near-identical chunk results."""
     from globalegomocap_tpu.config import (

@@ -2,7 +2,11 @@
 dryrun_multichip() on the 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
+
+# the driver dry-runs this entry separately; sharded==single is also covered by test_driver
+pytestmark = pytest.mark.slow
 
 
 def test_entry_jits():

@@ -114,6 +114,18 @@ def test_crop_mass_coverage_metric():
     assert crop_mass_coverage(bim, 64).min() == 1.0
 
 
+def test_device_coverage_matches_numpy():
+    """The driver's on-device guard statistic equals the numpy reference
+    implementation."""
+    from globalegomocap_tpu.energy.terms import (
+        crop_coverage_mean, crop_mass_coverage)
+    bim = _bimodal_maps(np.random.default_rng(11))
+    for k in (8, 16):
+        dev = float(crop_coverage_mean(jnp.asarray(bim), k))
+        ref = float(crop_mass_coverage(bim, k).mean())
+        np.testing.assert_allclose(dev, ref, rtol=1e-5)
+
+
 def test_crop_misses_secondary_mode_drift():
     """Documents WHY the guard exists: when the argmax sits on a decoy
     mode away from where the solver samples, the peak crop silently

@@ -1,6 +1,7 @@
 """Joint whole-sequence optimization (cross-window coupling) tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -62,6 +63,7 @@ def test_joint_solve_runs_and_reduces_overlap_disagreement():
         e0["aligned_optimized_mpjpe"] * 1.5 + 1e-3
 
 
+@pytest.mark.slow
 def test_joint_solve_with_heatmap_crop():
     """The joint whole-sequence path combined with peak-cropped heatmaps
     (the origins branch of joint_loss) runs and preserves quality."""

@@ -29,6 +29,7 @@ def windows_with_cameras():
     return poses, cameras
 
 
+@pytest.mark.slow
 def test_joint_training_decreases_loss(windows_with_cameras):
     poses, cameras = windows_with_cameras
     cfg = TrainConfig(latent_dim=LATENT, seq_length=10, epochs=6,

@@ -35,23 +35,33 @@ WEIGHTS = dict(w3d=0.01 / 1e4, smooth=0.001 / 100, bone=0.01, reproj=0.01)
 WEIGHTS_GLOBAL = dict(w3d=0.01, smooth=0.001, bone=0.01, reproj=0.0)
 
 
-@pytest.fixture(scope="module")
-def setup():
+def make_model_pair(latent, hidden, seed=3):
+    """A torch reference model + its converter-loaded flax twin."""
     import torch
     from tests.torch_vae_harness import TorchConvVAE
 
-    torch.manual_seed(3)
-    tmodel = TorchConvVAE(latent_dim=LATENT, seq_len=10,
-                          hidden_dims=HIDDEN).eval()
+    torch.manual_seed(seed)
+    tmodel = TorchConvVAE(latent_dim=latent, seq_len=10,
+                          hidden_dims=hidden).eval()
     sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
     variables = jax.tree_util.tree_map(
-        jnp.asarray, torch_state_dict_to_flax(sd, 10, HIDDEN))
+        jnp.asarray, torch_state_dict_to_flax(sd, 10, hidden))
+    return tmodel, variables
 
+
+def make_window():
     chunk = synthetic_chunk(n_frames=12, seed=42, noise_std=0.03)
     anchor = chunk.estimated_local[:10]                   # (10, 15, 3)
     heat = chunk.heatmaps[:10].transpose(0, 3, 1, 2)      # (10, 15, H, W)
     mean_bl = np.asarray(mean_bone_lengths(
         jnp.asarray(chunk.estimated_local)))
+    return anchor, heat, mean_bl
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tmodel, variables = make_model_pair(LATENT, HIDDEN)
+    anchor, heat, mean_bl = make_window()
     return tmodel, variables, anchor, heat, mean_bl
 
 
@@ -118,8 +128,9 @@ def torch_stage(tmodel, anchor, heat, mean_bl, weights=WEIGHTS):
                 tmodel.decode(z).reshape(10, 15, 3).numpy())
 
 
-def jax_stage(variables, anchor, heat, mean_bl, stage_weights=WEIGHTS):
-    model = ConvVAE(latent_dim=LATENT, seq_len=10, hidden_dims=HIDDEN)
+def jax_stage(variables, anchor, heat, mean_bl, stage_weights=WEIGHTS,
+              latent=LATENT, hidden=HIDDEN):
+    model = ConvVAE(latent_dim=latent, seq_len=10, hidden_dims=hidden)
     cam = fisheye.default_camera("egosyn")
     use_reproj = stage_weights["reproj"] != 0.0
     weights = EnergyWeights.create(
@@ -198,3 +209,59 @@ def test_stage2_parity(setup):
     assert abs(d_jax - d_torch) < 0.01 * max(d_jax, d_torch), \
         (d_jax, d_torch)
     assert d_jax <= d_torch * 1.01, (d_jax, d_torch)  # never worse
+
+
+@pytest.mark.slow
+def test_full_size_parity():
+    """The SAME two head-to-heads at the PRODUCTION architecture —
+    latent 2048, hidden (64..512), converter-loaded torch weights
+    (the shape of the reference's released checkpoints,
+    optimizer.py:332-350).  Writes the measured energies/poses to
+    tests/golden/full_size_parity.json as the committed evidence."""
+    import json
+    import os
+
+    latent, hidden = 2048, (64, 64, 128, 256, 512)
+    tmodel, variables = make_model_pair(latent, hidden)
+    anchor, heat, mean_bl = make_window()
+
+    record = {"latent": latent, "hidden": list(hidden)}
+
+    # ---- stage 1 (local split, heatmap term on) ----
+    f_t1, pose_t1 = torch_stage(tmodel, anchor, heat, mean_bl)
+    f_j1, pose_j1 = jax_stage(variables, anchor, heat, mean_bl,
+                              latent=latent, hidden=hidden)
+    mpjpe1 = float(np.linalg.norm(pose_j1 - pose_t1, axis=-1).mean())
+    record["stage1"] = {"f_torch": f_t1, "f_jax": f_j1, "mpjpe": mpjpe1}
+    # sign-safe 2% bands: at full size the (negative) heatmap term
+    # dominates, so multiplicative bands would flip direction
+    assert f_j1 <= f_t1 + 0.02 * abs(f_t1) + 1e-6, (f_j1, f_t1)
+    assert f_t1 <= f_j1 + 0.02 * abs(f_j1) + 1e-6, (f_j1, f_t1)
+    assert mpjpe1 < 5e-3, mpjpe1
+
+    # ---- stage 2 (global split, reprojection off) ----
+    from globalegomocap_tpu.ops.transforms import relative_global_pose
+    chunk = synthetic_chunk(n_frames=12, seed=42, noise_std=0.03)
+    rel = np.asarray(relative_global_pose(
+        jnp.asarray(chunk.estimated_local[:10])[None],
+        jnp.asarray(chunk.camera_poses[:10])[None])[0]).astype(np.float32)
+    rel_bl = np.asarray(mean_bone_lengths(jnp.asarray(rel)))
+    f_t2, pose_t2 = torch_stage(tmodel, rel, heat, rel_bl,
+                                weights=WEIGHTS_GLOBAL)
+    f_j2, pose_j2 = jax_stage(variables, rel, heat, rel_bl,
+                              stage_weights=WEIGHTS_GLOBAL,
+                              latent=latent, hidden=hidden)
+    d_jax = float(np.linalg.norm(pose_j2 - rel, axis=-1).mean())
+    d_torch = float(np.linalg.norm(pose_t2 - rel, axis=-1).mean())
+    record["stage2"] = {"f_torch": f_t2, "f_jax": f_j2,
+                        "dist_to_anchor_jax": d_jax,
+                        "dist_to_anchor_torch": d_torch}
+    assert f_j2 <= f_t2 + 0.02 * abs(f_t2) + 1e-6, (f_j2, f_t2)
+    assert f_t2 <= f_j2 + 0.05 * abs(f_j2) + 1e-6, (f_j2, f_t2)
+    assert abs(d_jax - d_torch) < 0.01 * max(d_jax, d_torch), \
+        (d_jax, d_torch)
+
+    out = os.path.join(os.path.dirname(__file__), "golden",
+                       "full_size_parity.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)

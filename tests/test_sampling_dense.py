@@ -2,6 +2,7 @@
 torch grid_sample everywhere, including out-of-bounds."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -50,6 +51,7 @@ def test_bfloat16_maps_all_impls():
     np.testing.assert_allclose(g16, g32, rtol=5e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_heatmap_dtype_in_pipeline():
     """cfg.heatmap_dtype='bfloat16' produces near-identical chunk results."""
     from globalegomocap_tpu.config import (
