@@ -51,6 +51,9 @@ FUSED_PROBES = os.environ.get("BENCH_FUSED_PROBES", "1") == "1"
 # fixed solver: compact-representation L-BFGS direction (identical math,
 # ~8 kernels instead of ~2*history sequential ones)
 COMPACT_DIR = os.environ.get("BENCH_COMPACT_DIRECTION", "0") == "1"
+# fixed solver: pointer-indexed circular history (one O(d) row write per
+# iteration instead of three O(m*d) roll copies; identical trajectory)
+CIRCULAR_HISTORY = os.environ.get("BENCH_CIRCULAR_HISTORY", "0") == "1"
 # L-BFGS history size (the two-loop recursion and the history rolls scale
 # with it): m=10 gives 1326 vs 1122 windows/s at m=25 with identical e2e
 # quality (tests/test_e2e_quality.py); m=5 saturates at the same 1324
@@ -99,6 +102,7 @@ def main():
         prior=PriorConfig(latent_dim=2048, seq_len=10),
         solver=SolverConfig(method=SOLVER, fused_probes=FUSED_PROBES,
                             compact_direction=COMPACT_DIR,
+                            circular_history=CIRCULAR_HISTORY,
                             history_size=HISTORY),
         sampling_impl=SAMPLING,
         fold_bn=FOLD_BN,

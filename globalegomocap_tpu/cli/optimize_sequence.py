@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lbfgs_fixed: fold the accepted-point "
                         "value_and_grad into the candidate probe batch "
                         "(identical trajectory, fewer evals)")
+    p.add_argument("--circular_history", default=False, type=str2bool,
+                   help="lbfgs_fixed: pointer-indexed circular history "
+                        "(one O(d) row write per iteration instead of "
+                        "three O(m*d) roll copies; identical trajectory)")
     p.add_argument("--sampling", default="gather",
                    choices=["gather", "dense", "pallas"])
     p.add_argument("--heatmap_dtype", default="float32",
@@ -134,6 +138,7 @@ def main(argv=None):
                               int(x) for x in args.hidden_dims.split(","))),
         solver=SolverConfig(method=args.solver,
                             fused_probes=args.fused_probes,
+                            circular_history=args.circular_history,
                             init=args.init, init_seed=args.init_seed),
         sampling_impl=args.sampling,
         heatmap_dtype=args.heatmap_dtype,

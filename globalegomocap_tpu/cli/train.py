@@ -31,6 +31,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epoch", default=20, type=int)
     p.add_argument("--batch_size", default=64, type=int)
     p.add_argument("--learning_rate", default=1e-4, type=float)
+    p.add_argument("--lr_schedule", default="constant",
+                   choices=["constant", "cosine"],
+                   help="'cosine': warmup + cosine decay to --lr_final "
+                        "over the whole run (stabilizes long runs on "
+                        "small corpora; the reference only has constant)")
+    p.add_argument("--lr_warmup_steps", default=0, type=int)
+    p.add_argument("--lr_final", default=0.0, type=float)
     p.add_argument("--weight_decay", default=0.0, type=float)
     p.add_argument("--slide_window_step", default=1, type=int)
     p.add_argument("--data_balance", default=False, type=str2bool)
@@ -78,6 +85,8 @@ def main(argv=None):
         latent_dim=args.latent_dim, seq_length=args.seq_length,
         fps=args.fps, kl_weight=args.kl_weight, epochs=args.epoch,
         batch_size=args.batch_size, learning_rate=args.learning_rate,
+        lr_schedule=args.lr_schedule,
+        lr_warmup_steps=args.lr_warmup_steps, lr_final=args.lr_final,
         weight_decay=args.weight_decay,
         slide_window_step=args.slide_window_step,
         data_balance=args.data_balance, local_pose=args.local_pose,

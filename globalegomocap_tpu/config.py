@@ -49,6 +49,10 @@ class SolverConfig:
     # representation instead of the sequential two-loop recursion —
     # algebraically identical, ~8 kernels instead of ~2*history tiny ones
     compact_direction: bool = False
+    # fixed solver: pointer-indexed circular history — one O(d) row write
+    # per iteration instead of three O(m*d) jnp.roll buffer rotations
+    # (identical trajectories, tests/test_lbfgs_fixed.py)
+    circular_history: bool = False
     # rematerialize the decoder in the backward pass (trades FLOPs for HBM,
     # for very large window batches)
     remat: bool = False
@@ -162,6 +166,13 @@ class TrainConfig:
     epochs: int = 20
     batch_size: int = 64
     learning_rate: float = 1e-4
+    # 'constant' (reference behaviour, networks/train.py Adam with fixed
+    # lr) or 'cosine' (decay to lr_final over the run; stabilizes long
+    # runs on small corpora where a fixed lr oscillates — see
+    # prior_recon_sweep.json)
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
+    lr_final: float = 0.0
     weight_decay: float = 0.0
     slide_window_step: int = 1
     data_balance: bool = False

@@ -88,6 +88,47 @@ def _two_loop_direction(grad, s_hist, y_hist, rho_hist, valid):
     return -r
 
 
+def _two_loop_direction_circular(grad, s_hist, y_hist, rho_hist, valid,
+                                 ptr):
+    """Two-loop recursion over a pointer-indexed circular history.
+
+    Identical math to `_two_loop_direction` but the history buffers are
+    never rotated: `ptr` is the next write slot, so the newest pair lives
+    at (ptr-1) mod m and iteration order is recovered with modular
+    indexing.  This turns the per-iteration history update from three
+    O(m*d) roll copies into one O(d) dynamic row write (see
+    `lbfgs_minimize_fixed(circular_history=True)`).  Invalid (unwritten)
+    slots are masked by `valid` exactly as in the rolled variant.
+    """
+    m = s_hist.shape[0]
+
+    def backward(i, carry):
+        q, alphas = carry
+        idx = (ptr - 1 - i) % m  # newest first
+        a = rho_hist[idx] * jnp.dot(s_hist[idx], q)
+        a = jnp.where(valid[idx], a, 0.0)
+        q = q - a * y_hist[idx]
+        return q, alphas.at[idx].set(a)
+
+    q, alphas = jax.lax.fori_loop(
+        0, m, backward, (grad, jnp.zeros((m,), grad.dtype)))
+
+    newest = (ptr - 1) % m
+    sy = jnp.sum(s_hist[newest] * y_hist[newest])
+    yy = jnp.sum(y_hist[newest] * y_hist[newest])
+    gamma = jnp.where(valid[newest] & (yy > 0), sy / yy, 1.0)
+    r = gamma * q
+
+    def forward(i, r):
+        idx = (ptr + i) % m  # oldest first (invalid slots masked)
+        b = rho_hist[idx] * jnp.dot(y_hist[idx], r)
+        upd = s_hist[idx] * (alphas[idx] - b)
+        return r + jnp.where(valid[idx], upd, 0.0)
+
+    r = jax.lax.fori_loop(0, m, forward, r)
+    return -r
+
+
 def _compact_direction(grad, s_hist, y_hist, valid):
     """L-BFGS direction via the compact representation (Byrd, Nocedal &
     Schnabel 1994) — algebraically identical to the two-loop recursion but
@@ -408,7 +449,8 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
                          step_candidates=(1.0, 0.5, 0.1, 0.02),
                          c1: float = 1e-4,
                          fused_probes: bool = False,
-                         compact_direction: bool = False) -> LBFGSResult:
+                         compact_direction: bool = False,
+                         circular_history: bool = False) -> LBFGSResult:
     """L-BFGS with a PARALLEL Armijo line search and fully static control
     flow (lax.scan, no while loops).
 
@@ -433,6 +475,11 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
     mathematically identical (the objective eval is latency-bound, so one
     K-wide vg call beats a K-wide value call plus a separate vg call;
     costs K x the backward FLOPs, which are nearly free at these sizes).
+
+    circular_history=True keeps the (m, d) history buffers stationary and
+    tracks a write pointer: each iteration does ONE O(d) dynamic row write
+    instead of three O(m*d) `jnp.roll` buffer rotations (identical
+    trajectories; tests/test_lbfgs.py asserts equality).
     """
     value_and_grad = jax.value_and_grad(loss_fn)
     dim = x0.shape[-1]
@@ -445,9 +492,12 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
     first_scale = jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(g0)))
 
     def step(carry, it):
-        x, f, g, s_hist, y_hist, rho_hist, valid = carry
+        x, f, g, s_hist, y_hist, rho_hist, valid, ptr = carry
         if compact_direction:
             d = _compact_direction(g, s_hist, y_hist, valid)
+        elif circular_history:
+            d = _two_loop_direction_circular(g, s_hist, y_hist, rho_hist,
+                                             valid, ptr)
         else:
             d = _two_loop_direction(g, s_hist, y_hist, rho_hist, valid)
         descent = jnp.dot(d, g) < 0
@@ -485,23 +535,37 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
         y = g_new - g
         ys = jnp.dot(y, step_vec)
         do_update = ys > 1e-10
-        s_hist = jnp.where(do_update,
-                           jnp.roll(s_hist, -1, 0).at[-1].set(step_vec),
-                           s_hist)
-        y_hist = jnp.where(do_update,
-                           jnp.roll(y_hist, -1, 0).at[-1].set(y), y_hist)
-        rho_hist = jnp.where(do_update,
-                             jnp.roll(rho_hist, -1).at[-1].set(1.0 / ys),
-                             rho_hist)
-        valid = jnp.where(do_update, jnp.roll(valid, -1).at[-1].set(True),
-                          valid)
-        return (x_new, f_new, g_new, s_hist, y_hist, rho_hist, valid), None
+        if circular_history:
+            # one O(d) row write at the pointer slot (no-op row when the
+            # curvature pair is skipped), instead of rotating the buffers
+            s_hist = s_hist.at[ptr].set(
+                jnp.where(do_update, step_vec, s_hist[ptr]))
+            y_hist = y_hist.at[ptr].set(
+                jnp.where(do_update, y, y_hist[ptr]))
+            rho_hist = rho_hist.at[ptr].set(
+                jnp.where(do_update, 1.0 / ys, rho_hist[ptr]))
+            valid = valid.at[ptr].set(valid[ptr] | do_update)
+            ptr = jnp.where(do_update, (ptr + 1) % history_size, ptr)
+        else:
+            s_hist = jnp.where(do_update,
+                               jnp.roll(s_hist, -1, 0).at[-1].set(step_vec),
+                               s_hist)
+            y_hist = jnp.where(do_update,
+                               jnp.roll(y_hist, -1, 0).at[-1].set(y), y_hist)
+            rho_hist = jnp.where(do_update,
+                                 jnp.roll(rho_hist, -1).at[-1].set(1.0 / ys),
+                                 rho_hist)
+            valid = jnp.where(do_update,
+                              jnp.roll(valid, -1).at[-1].set(True), valid)
+        return (x_new, f_new, g_new, s_hist, y_hist, rho_hist, valid,
+                ptr), None
 
     init = (x0, f0, g0,
             jnp.zeros((history_size, dim), dtype),
             jnp.zeros((history_size, dim), dtype),
             jnp.zeros((history_size,), dtype),
-            jnp.zeros((history_size,), bool))
+            jnp.zeros((history_size,), bool),
+            jnp.asarray(0, jnp.int32))
     (x, f, g, *_), _ = jax.lax.scan(step, init,
                                     jnp.arange(max_iter, dtype=jnp.int32))
     n_evals = max_iter * k + 1 if fused_probes else max_iter * (k + 1) + 1

@@ -68,7 +68,8 @@ def _solve(cfg: OptimizeConfig, loss, z0):
             loss, z0, max_iter=s.max_iter, history_size=s.history_size,
             lr=s.lr, step_candidates=tuple(s.step_candidates),
             fused_probes=s.fused_probes,
-            compact_direction=s.compact_direction).x
+            compact_direction=s.compact_direction,
+            circular_history=s.circular_history).x
     return lbfgs_minimize(
         loss, z0, max_iter=s.max_iter, history_size=s.history_size,
         lr=s.lr, tolerance_change=s.tolerance_change,

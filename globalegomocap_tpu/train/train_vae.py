@@ -41,10 +41,26 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def make_optimizer(cfg: TrainConfig):
+def make_optimizer(cfg: TrainConfig, total_steps: int = 0):
+    """Adam/AdamW with an optional cosine-decay schedule.
+
+    The reference trains with a fixed Adam lr (networks/train.py:96); the
+    'cosine' schedule (warmup -> cosine to cfg.lr_final over `total_steps`)
+    is a rebuild addition that stabilizes long runs on small corpora, where
+    a fixed lr oscillates around the recon floor (prior_recon_sweep.json).
+    """
+    lr = cfg.learning_rate
+    if cfg.lr_schedule == "cosine" and total_steps > 0:
+        warm = min(cfg.lr_warmup_steps, max(total_steps - 1, 0))
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warm else cfg.learning_rate,
+            peak_value=cfg.learning_rate,
+            warmup_steps=warm,
+            decay_steps=total_steps,
+            end_value=cfg.lr_final)
     if cfg.weight_decay:
-        return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
-    return optax.adam(cfg.learning_rate)
+        return optax.adamw(lr, weight_decay=cfg.weight_decay)
+    return optax.adam(lr)
 
 
 def make_train_step(model: ConvVAE, tx, kld_weight: float):
@@ -111,7 +127,9 @@ class Trainer:
         self.test_ds = test_ds
         self.model = model or ConvVAE(latent_dim=cfg.latent_dim,
                                       seq_len=cfg.seq_length)
-        self.tx = make_optimizer(cfg)
+        steps_per_epoch = max(1, len(train_ds) // max(1, cfg.batch_size))
+        self.tx = make_optimizer(cfg, total_steps=steps_per_epoch
+                                 * cfg.epochs)
 
         self.mesh = make_mesh(cfg.num_devices or None)
         self._repl = replicate(self.mesh)

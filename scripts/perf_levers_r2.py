@@ -108,6 +108,10 @@ def main():
         ("history5", with_overrides(
             base, solver=SolverConfig(method="lbfgs_fixed",
                                       fused_probes=True, history_size=5))),
+        ("circular_history", with_overrides(
+            base, solver=SolverConfig(method="lbfgs_fixed",
+                                      fused_probes=True, history_size=10,
+                                      circular_history=True))),
     ]
     results = []
     for name, cfg in levers:

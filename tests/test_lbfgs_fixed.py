@@ -105,6 +105,71 @@ def test_compact_direction_solver_trajectory():
     assert float(r1.f) <= float(r0.f) * 1.01 + 1e-6
 
 
+def test_circular_history_identical_trajectory():
+    """circular_history replaces the per-iteration roll copies with a
+    pointer row write — the trajectory must be bit-compatible (same
+    history contents in a different slot order)."""
+    rng = np.random.default_rng(11)
+    W = jnp.asarray(rng.normal(size=(12, 12)).astype(np.float32) * 0.4)
+    t = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
+
+    def loss(x):
+        return jnp.sum((W @ jnp.tanh(x) - t) ** 2) + 0.01 * jnp.sum(x ** 2)
+
+    x0 = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
+    # history smaller than max_iter so the buffer wraps (the pointer
+    # arithmetic's hard case), plus fused_probes (the production config)
+    for m in (3, 5, 25):
+        r0 = lbfgs_minimize_fixed(loss, x0, max_iter=15, history_size=m,
+                                  fused_probes=True)
+        r1 = lbfgs_minimize_fixed(loss, x0, max_iter=15, history_size=m,
+                                  fused_probes=True, circular_history=True)
+        np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(float(r1.f), float(r0.f),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_circular_two_loop_equals_rolled():
+    """The pointer-indexed two-loop must equal the rolled two-loop for
+    every pointer position and fill level."""
+    from globalegomocap_tpu.optimize.lbfgs import (
+        _two_loop_direction, _two_loop_direction_circular)
+    rng = np.random.default_rng(13)
+    m, dim = 6, 16
+    for n_valid in (0, 2, 6):
+        for ptr in (0, 2, 5):
+            # build the rolled layout (newest at m-1, oldest-valid first)
+            s = np.zeros((m, dim), np.float32)
+            y = np.zeros((m, dim), np.float32)
+            valid = np.zeros((m,), bool)
+            for i in range(m - n_valid, m):
+                si = rng.normal(size=dim).astype(np.float32)
+                yi = si * rng.uniform(0.5, 2.0)
+                s[i], y[i], valid[i] = si, yi, True
+            rho = np.where(valid, 1.0 / np.maximum(
+                np.sum(s * y, -1), 1e-12), 0.0).astype(np.float32)
+            g = jnp.asarray(rng.normal(size=dim).astype(np.float32))
+            d0 = _two_loop_direction(g, jnp.asarray(s), jnp.asarray(y),
+                                     jnp.asarray(rho), jnp.asarray(valid))
+            # circular layout: slot (ptr-1-k) % m holds the k-th newest
+            perm = np.asarray([(ptr - 1 - k) % m for k in range(m)])
+            sc = np.zeros_like(s)
+            yc = np.zeros_like(y)
+            rhoc = np.zeros_like(rho)
+            vc = np.zeros((m,), bool)
+            for k in range(m):
+                sc[perm[k]] = s[m - 1 - k]
+                yc[perm[k]] = y[m - 1 - k]
+                rhoc[perm[k]] = rho[m - 1 - k]
+                vc[perm[k]] = valid[m - 1 - k]
+            d1 = _two_loop_direction_circular(
+                g, jnp.asarray(sc), jnp.asarray(yc), jnp.asarray(rhoc),
+                jnp.asarray(vc), jnp.asarray(ptr, jnp.int32))
+            np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                                       rtol=1e-5, atol=1e-6)
+
+
 def test_vmap_batch():
     centers = jnp.asarray(np.random.default_rng(0).normal(
         size=(12, 6)).astype(np.float32))
