@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "small corpora; the reference only has constant)")
     p.add_argument("--lr_warmup_steps", default=0, type=int)
     p.add_argument("--lr_final", default=0.0, type=float)
+    p.add_argument("--logvar_init_bias", default=0.0, type=float,
+                   help="initial bias of the VAE log-variance head; "
+                        "negative (e.g. -6) starts the posterior "
+                        "near-deterministic (faster convergence on small "
+                        "corpora)")
     p.add_argument("--weight_decay", default=0.0, type=float)
     p.add_argument("--slide_window_step", default=1, type=int)
     p.add_argument("--data_balance", default=False, type=str2bool)
@@ -87,6 +92,7 @@ def main(argv=None):
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         lr_schedule=args.lr_schedule,
         lr_warmup_steps=args.lr_warmup_steps, lr_final=args.lr_final,
+        logvar_init_bias=args.logvar_init_bias,
         weight_decay=args.weight_decay,
         slide_window_step=args.slide_window_step,
         data_balance=args.data_balance, local_pose=args.local_pose,

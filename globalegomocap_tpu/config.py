@@ -173,6 +173,10 @@ class TrainConfig:
     lr_schedule: str = "constant"
     lr_warmup_steps: int = 0
     lr_final: float = 0.0
+    # initial bias of the VAE's log-variance head (ConvVAE.logvar_bias_init):
+    # negative values start the posterior near-deterministic, which
+    # converges much faster on small corpora (prior_floor_experiment.json)
+    logvar_init_bias: float = 0.0
     weight_decay: float = 0.0
     slide_window_step: int = 1
     data_balance: bool = False

@@ -98,6 +98,14 @@ class ConvVAE(nn.Module):
     dtype: Any = jnp.float32
     # False = BN structurally skipped (pair with fold_batchnorm'd variables)
     use_bn: bool = True
+    # initial bias of the log-variance head.  The default (0, like the
+    # reference's torch Linear init) starts the posterior at std ~= 1, so
+    # early training is swamped by z-noise and reconstruction improves only
+    # as fast as recon gradients shrink log_var; a negative value (e.g. -6
+    # -> std ~= 0.05) starts near-deterministic, which converges much
+    # faster on small corpora (prior_floor_experiment.json).  Loaded torch
+    # checkpoints overwrite it, so parity is unaffected.
+    logvar_bias_init: float = 0.0
 
     def setup(self):
         self.encoder_blocks = [
@@ -106,7 +114,9 @@ class ConvVAE(nn.Module):
             for i, h in enumerate(self.hidden_dims)
         ]
         self.fc_mu = nn.Dense(self.latent_dim, dtype=self.dtype)
-        self.fc_var = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.fc_var = nn.Dense(
+            self.latent_dim, dtype=self.dtype,
+            bias_init=nn.initializers.constant(self.logvar_bias_init))
 
         if self.with_bone_length:
             self.bone_dense = nn.Dense(512, dtype=self.dtype)

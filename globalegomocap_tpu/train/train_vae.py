@@ -76,7 +76,7 @@ def make_train_step(model: ConvVAE, tx, kld_weight: float):
                 batch, True, rng, mutable=["batch_stats"])
             loss, recon, kld = vae_loss(out.reconstruction, batch, out.mu,
                                         out.log_var, kld_weight)
-            return loss, (recon, kld, updates["batch_stats"])
+            return loss, (recon, kld, updates.get("batch_stats", {}))
 
         (loss, (recon, kld, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -126,7 +126,8 @@ class Trainer:
         self.train_ds = train_ds
         self.test_ds = test_ds
         self.model = model or ConvVAE(latent_dim=cfg.latent_dim,
-                                      seq_len=cfg.seq_length)
+                                      seq_len=cfg.seq_length,
+                                      logvar_bias_init=cfg.logvar_init_bias)
         steps_per_epoch = max(1, len(train_ds) // max(1, cfg.batch_size))
         self.tx = make_optimizer(cfg, total_steps=steps_per_epoch
                                  * cfg.epochs)
@@ -141,7 +142,7 @@ class Trainer:
         state = TrainState(
             step=jnp.asarray(0),
             params=variables["params"],
-            batch_stats=variables["batch_stats"],
+            batch_stats=variables.get("batch_stats", {}),
             opt_state=self.tx.init(variables["params"]))
         self.state = jax.device_put(state, self._repl)
 
