@@ -173,7 +173,12 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed + 1)
         np_rng = np.random.default_rng(cfg.seed + 2)
         count = 0
-        running = {"loss": 0.0, "recon_loss": 0.0}
+        # metric accumulation stays ON DEVICE: a per-step float() readback
+        # would force a host sync every step (through the TPU tunnel that
+        # is ~the entire step time at small batches); values are read back
+        # only at log_step boundaries / epoch ends.
+        zero = jnp.zeros((), jnp.float32)
+        running = {"loss": zero, "recon_loss": zero}
         for epoch in range(cfg.epochs):
             t0 = time.perf_counter()
             epoch_steps = 0
@@ -182,15 +187,17 @@ class Trainer:
                 epoch_steps += 1
                 self.state, metrics = self._train_step(
                     self.state, self._device_batch(batch), rng)
-                running["loss"] += float(metrics["loss"])
-                running["recon_loss"] += float(metrics["recon_loss"])
+                running["loss"] = running["loss"] + metrics["loss"]
+                running["recon_loss"] = (running["recon_loss"]
+                                         + metrics["recon_loss"])
                 count += 1
                 if cfg.log_step and count % cfg.log_step == 0:
+                    vals = {k: float(v) for k, v in running.items()}
                     log_fn(f"step {count}: running loss "
-                           f"{running['loss']:.5f} recon "
-                           f"{running['recon_loss']:.5f}")
-                    self.history.append({"step": count, **running})
-                    running = {"loss": 0.0, "recon_loss": 0.0}
+                           f"{vals['loss']:.5f} recon "
+                           f"{vals['recon_loss']:.5f}")
+                    self.history.append({"step": count, **vals})
+                    running = {"loss": zero, "recon_loss": zero}
             if epoch_steps == 0:
                 log_fn(f"WARNING: epoch {epoch} ran 0 steps — batch_size "
                        f"({cfg.batch_size}) exceeds the dataset "

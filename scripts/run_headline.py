@@ -7,7 +7,8 @@
    print the reference-style per-sequence metric summaries, overall
    averages, and total optimization wall-clock.
 
-Run:  python scripts/run_headline.py   (~5 min on one v5e)
+Run:  python scripts/run_headline.py   (~15 min on one v5e; most of it
+is the two 768-epoch prior trainings)
 """
 
 from __future__ import annotations
@@ -43,19 +44,24 @@ def main():
     seqs = synthetic_amass(n_sequences=10, frames_per_seq=250, seed=5)
 
     def train(local_pose):
-        # On this small synthetic corpus the reference's real-AMASS
-        # kl_weight (0.5) posterior-collapses the prior: its reconstruction
-        # MPJPE (~0.09) then EXCEEDS the injected estimation noise (~0.048),
-        # so decoding through it hurt the raw-global metrics (round-1
-        # headline regression).  A weaker KL + more epochs trains the prior
-        # below the noise floor, which is the regime the reference's
-        # released checkpoints are in on real AMASS.
-        epochs = int(os.environ.get("HEADLINE_EPOCHS", "16"))
-        kl = float(os.environ.get("HEADLINE_KL", "0.05"))
+        # Training recipe for the small synthetic corpus (see
+        # prior_recon_sweep / prior_floor / prior_bn / prior_kl0
+        # experiments + /tmp runs committed as *_experiment.json):
+        # the reference's real-AMASS kl_weight regime posterior-collapses
+        # here — ANY kl > 0 caps recon at ~0.065-0.11, above the injected
+        # estimation noise (~0.048), so decoding through the prior
+        # REGRESSED raw-global metrics (the round-1 headline regression).
+        # kl=0 + a near-deterministic posterior init (logvar -6) + cosine
+        # decay + enough steps trains recon to ~0.009, the regime the
+        # reference's released checkpoints are in on real AMASS.
+        epochs = int(os.environ.get("HEADLINE_EPOCHS", "768"))
+        kl = float(os.environ.get("HEADLINE_KL", "0.0"))
         lr = float(os.environ.get("HEADLINE_LR", "1e-3"))
         cfg = TrainConfig(latent_dim=2048, seq_length=10, epochs=epochs,
                           batch_size=64, kl_weight=kl,
-                          learning_rate=lr, log_step=0)
+                          learning_rate=lr, lr_schedule="cosine",
+                          lr_final=3e-5, logvar_init_bias=-6.0,
+                          log_step=0)
         ds = AmassWindows.from_sequences(seqs, frame_num=10,
                                          local_pose=local_pose)
         trainer = Trainer(cfg, ds, AmassWindows(ds.windows[::17]),

@@ -158,3 +158,25 @@ class TestTorchParity:
                            z, False, method=ConvVAE.decode)
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_logvar_bias_init():
+    """logvar_bias_init seeds the fc_var bias (near-deterministic start);
+    default 0 keeps the reference-equivalent init."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from globalegomocap_tpu.models.conv_vae import ConvVAE
+
+    m = ConvVAE(latent_dim=8, seq_len=10, hidden_dims=(8, 8, 16, 16, 32),
+                logvar_bias_init=-6.0)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    np.testing.assert_allclose(np.asarray(v["params"]["fc_var"]["bias"]),
+                               -6.0)
+    m0 = ConvVAE(latent_dim=8, seq_len=10, hidden_dims=(8, 8, 16, 16, 32))
+    v0 = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    np.testing.assert_allclose(np.asarray(v0["params"]["fc_var"]["bias"]),
+                               0.0)
+    # the mu head is untouched by the option
+    np.testing.assert_allclose(np.asarray(v["params"]["fc_mu"]["kernel"]),
+                               np.asarray(v0["params"]["fc_mu"]["kernel"]))
