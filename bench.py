@@ -40,8 +40,13 @@ MODE = os.environ.get("BENCH_MODE", "flat")
 # eval — see models/dense_decoder.py and tests/test_dense_decoder.py);
 # measured 529 vs 504 windows/s on 1x v5e, so default ON
 DENSE_DECODER = os.environ.get("BENCH_DENSE_DECODER", "1") == "1"
-# '' | 'conv' | 'dense' | 'shift' — overrides DENSE_DECODER when set
-DECODER_IMPL = os.environ.get("BENCH_DECODER_IMPL", "")
+# '' | 'conv' | 'dense' | 'shift' — overrides DENSE_DECODER when set.
+# 'shift' (3 shift-matmuls per conv layer) is the measured round-2 winner:
+# 1095.5 vs 869.9 windows/s same-session vs the banded-matmul decoder
+# (perf_levers_r2.json) — band-matmul kernel economy without the band's
+# ~3.3x FLOP / ~33x weight-traffic inflation; exact re-association
+# (tests/test_dense_decoder.py)
+DECODER_IMPL = os.environ.get("BENCH_DECODER_IMPL", "shift")
 # 'bfloat16' halves dense/shift decoder weight streaming
 DECODER_DTYPE = os.environ.get("BENCH_DECODER_DTYPE", "float32")
 # fixed solver: fold the accepted-point value_and_grad into the candidate

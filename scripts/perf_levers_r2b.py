@@ -1,15 +1,13 @@
-"""Round-2 TPU perf levers: A/B each candidate against the round-1 winner
-and record achieved TFLOPS/MFU per configuration (VERDICT r1 item 4).
+"""Round-2 composite levers: stack the winners from perf_levers_r2.json.
 
-Levers: shift-matmul decoder (band economy without FLOP inflation),
-bf16 decoder-weight storage, gather-vs-dense sampling at crop 16 (the
-round-1 ranking was measured on FULL maps), crop 8, history 5.  Plus a
-micro-profile of the fisheye projection (the 0.6 ms anomaly flagged in
-round 1) with carry-perturbed inputs so XLA cannot hoist the body
-(CLAUDE.md: loop-invariant code motion trap).
+Same-session singles (base = r1 winner at 869.9 w/s): shift decoder
+1095.5, crop8 1091.2, history5 991.0, circular_history 896.1,
+dense-bf16 1052.2 (bf16 does NOT help the shift decoder: 1021.2).
+This script measures the stacked combinations plus the fixed fisheye
+projection micro-profile.
 
-Run on the TPU:  python scripts/perf_levers_r2.py
-Writes perf_levers_r2.json at the repo root.
+Run on the TPU:  python scripts/perf_levers_r2b.py
+Writes perf_levers_r2b.json at the repo root.
 """
 
 from __future__ import annotations
@@ -44,10 +42,13 @@ def main():
     chunks = [TestChunk(*(jax.device_put(jnp.asarray(a)) for a in c))
               for c in chunks]
 
+    def solver(h, circ):
+        return SolverConfig(method="lbfgs_fixed", fused_probes=True,
+                            history_size=h, circular_history=circ)
+
     base = OptimizeConfig(
         prior=PriorConfig(latent_dim=2048, seq_len=10),
-        solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
-                            history_size=10),
+        solver=solver(10, False),
         sampling_impl="dense", fold_bn=True, dense_decoder=True,
         heatmap_crop=16)
 
@@ -88,30 +89,22 @@ def main():
             flops = float(ca.get("flops", 0.0))
             if flops:
                 rec["tflops_per_s"] = round(flops / best / 1e12, 2)
-                rec["mfu_vs_bf16_peak"] = round(
-                    flops / best / 197e12, 4)
+                rec["mfu_vs_bf16_peak"] = round(flops / best / 197e12, 4)
         except Exception as e:
             rec["cost_analysis_error"] = repr(e)[:120]
         print(json.dumps(rec), flush=True)
         return rec
 
+    shift = with_overrides(base, decoder_impl="shift")
     levers = [
-        ("base_r1_winner", base),
-        ("shift_decoder", with_overrides(base, decoder_impl="shift")),
-        ("shift_decoder_bf16",
-         with_overrides(base, decoder_impl="shift",
-                        decoder_dtype="bfloat16")),
-        ("dense_decoder_bf16",
-         with_overrides(base, decoder_dtype="bfloat16")),
-        ("gather_at_crop16", with_overrides(base, sampling_impl="gather")),
-        ("crop8", with_overrides(base, heatmap_crop=8)),
-        ("history5", with_overrides(
-            base, solver=SolverConfig(method="lbfgs_fixed",
-                                      fused_probes=True, history_size=5))),
-        ("circular_history", with_overrides(
-            base, solver=SolverConfig(method="lbfgs_fixed",
-                                      fused_probes=True, history_size=10,
-                                      circular_history=True))),
+        ("base_same_session", base),
+        ("shift_crop8", with_overrides(shift, heatmap_crop=8)),
+        ("shift_hist5", with_overrides(shift, solver=solver(5, False))),
+        ("shift_circ", with_overrides(shift, solver=solver(10, True))),
+        ("shift_crop8_circ", with_overrides(shift, heatmap_crop=8,
+                                            solver=solver(10, True))),
+        ("shift_crop8_hist5_circ", with_overrides(
+            shift, heatmap_crop=8, solver=solver(5, True))),
     ]
     results = []
     for name, cfg in levers:
@@ -122,15 +115,12 @@ def main():
             print(json.dumps(results[-1]), flush=True)
 
     # ---- fisheye projection micro-profile (round-1 anomaly) -------------
-    # 36k points (the production per-eval load) through world2camera,
-    # inputs perturbed by the scan carry so nothing hoists.
     from globalegomocap_tpu.energy.terms import project_to_heatmap_grid
     from globalegomocap_tpu.ops import fisheye
     cam = fisheye.default_camera("egosyn")
     pts = jnp.asarray(np.random.default_rng(0).normal(
         size=(36000, 3)).astype(np.float32) * 0.3 + np.asarray(
         [0, 0, 1.5], np.float32))
-
     n_iter = 200
 
     @jax.jit
@@ -146,13 +136,12 @@ def main():
     t0 = time.perf_counter()
     jax.block_until_ready(proj_loop(pts))
     per_call_us = (time.perf_counter() - t0) / n_iter * 1e6
-    fisheye_rec = {"lever": "fisheye_projection_micro",
-                   "points": 36000,
+    fisheye_rec = {"lever": "fisheye_projection_micro", "points": 36000,
                    "us_per_projection_batch": round(per_call_us, 1)}
     print(json.dumps(fisheye_rec), flush=True)
     results.append(fisheye_rec)
 
-    with open(os.path.join(REPO, "perf_levers_r2.json"), "w") as f:
+    with open(os.path.join(REPO, "perf_levers_r2b.json"), "w") as f:
         json.dump(results, f, indent=1)
 
 

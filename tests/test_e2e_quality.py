@@ -95,6 +95,7 @@ class TestEndToEndQuality:
                                 history_size=20))
         prod_cfg = with_overrides(
             base_cfg, fold_bn=True, dense_decoder=True,
+            decoder_impl="shift",   # bench default since round 2
             sampling_impl="dense", heatmap_crop=16,
             solver=SolverConfig(method="lbfgs_fixed", max_iter=20,
                                 history_size=10, fused_probes=True))
