@@ -204,6 +204,38 @@ def crop_heatmaps(heatmaps: jnp.ndarray, k: int):
     return crops, origins, (h, w)
 
 
+def crop_heatmaps_channels_last(heatmaps: jnp.ndarray, k: int):
+    """`crop_heatmaps` for the STORAGE layout (..., H, W, J): crop each
+    joint's map around its peak WITHOUT first transposing the full-size
+    maps to (..., J, H, W).
+
+    This exists for launch-cost reasons: cropping is window-independent
+    (a frame's peak crop is the same in every sliding window that contains
+    the frame), so the pipeline crops the raw per-frame maps FIRST and
+    only then windows/transposes the 16x-smaller crops — the full maps
+    are read once (argmax + row gather) and never copied.
+    fixed_cost_probe.json measured the old window-then-crop order's full-
+    map windowing+moveaxis as the bulk of a ~63 ms per-launch intercept.
+
+    heatmaps: (..., H, W, J) -> (crops (..., k, k, J),
+    origins (..., J, 2) as (oy, ox) float, (H, W)).
+    """
+    h, w = heatmaps.shape[-3], heatmaps.shape[-2]
+    k = min(int(k), h, w)
+    flat = heatmaps.reshape(heatmaps.shape[:-3] + (h * w,)
+                            + heatmaps.shape[-1:])
+    am = jnp.argmax(flat, axis=-2)                     # (..., J)
+    cy, cx = am // w, am % w
+    oy = jnp.clip(cy - k // 2, 0, h - k)
+    ox = jnp.clip(cx - k // 2, 0, w - k)
+    iy = oy[..., None, None, :] + jnp.arange(k)[:, None, None]
+    rows = jnp.take_along_axis(heatmaps, iy, axis=-3)  # (..., k, W, J)
+    ix = ox[..., None, None, :] + jnp.arange(k)[None, :, None]
+    crops = jnp.take_along_axis(rows, ix, axis=-2)     # (..., k, k, J)
+    origins = jnp.stack([oy, ox], axis=-1).astype(jnp.float32)
+    return crops, origins, (h, w)
+
+
 def crop_mass_coverage(heatmaps, k: int):
     """Host-side guard for `crop_heatmaps`: per-map fraction of total
     (non-negative) probability mass retained by the k x k peak-centered

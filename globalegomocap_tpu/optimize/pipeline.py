@@ -78,12 +78,16 @@ def _solve(cfg: OptimizeConfig, loss, z0):
 
 def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
                    mean_bl, camera, weights: EnergyWeights,
-                   use_reproj: bool, cfg: OptimizeConfig) -> jnp.ndarray:
+                   use_reproj: bool, cfg: OptimizeConfig,
+                   origins=None, full_hw=None) -> jnp.ndarray:
     """One optimization stage over a batch of windows.
 
     init_pose: (W, T, 15, 3) the stage's anchor/init poses.
     heatmaps:  (W, T, 15, H, W) per-joint score maps (ignored when
-               use_reproj is False).
+               use_reproj is False).  May be pre-cropped peak windows —
+               then `origins` (W, T, 15, 2) and `full_hw` carry the crop
+               placement (the pipeline crops the raw per-frame maps BEFORE
+               windowing; see crop_heatmaps_channels_last).
     mean_bl:   (W, 15) per-window mean bone lengths.
     Returns the decoded optimized poses (W, T, 15, 3).
     """
@@ -95,8 +99,7 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
         # scan); sampling promotes back to f32 at the weight multiply
         heatmaps = heatmaps.astype(jnp.bfloat16)
 
-    origins, full_hw = None, None
-    if use_reproj and cfg.heatmap_crop > 0:
+    if use_reproj and cfg.heatmap_crop > 0 and origins is None:
         # shrink the solver's sampling working set to peak-centered crops
         # (ONCE per launch; the sampling gather dominates the eval cost)
         from globalegomocap_tpu.energy.terms import crop_heatmaps
@@ -215,8 +218,23 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
     win_local = slice_windows(estimated_local, seq_len, stride)
     win_cam = slice_windows(camera_seq, seq_len, stride)
     win_gt = slice_windows(gt_seq, seq_len, stride)
+
+    # Crop the raw per-frame maps BEFORE windowing (a frame's peak crop is
+    # window-independent): the full-size maps are read once and the
+    # windowing duplication + layout transpose touch only the 16x-smaller
+    # crops.  Window-then-crop order cost ~63 ms/launch of pure data
+    # motion on the full maps (fixed_cost_probe.json).
+    use_reproj = cfg.energy.reproj != 0.0
+    win_org, full_hw = None, None
+    if use_reproj and cfg.heatmap_crop > 0:
+        from globalegomocap_tpu.energy.terms import (
+            crop_heatmaps_channels_last)
+        crops, origins, full_hw = crop_heatmaps_channels_last(
+            heatmap_seq, cfg.heatmap_crop)           # (N,k,k,J), (N,J,2)
+        heatmap_seq = crops
+        win_org = slice_windows(origins, seq_len, stride)  # (W,T,J,2)
     win_heat = slice_windows(heatmap_seq, seq_len, stride)
-    win_heat = jnp.moveaxis(win_heat, -1, 2)  # (W, T, 15, H, Wd)
+    win_heat = jnp.moveaxis(win_heat, -1, 2)  # (W, T, 15, h, w)
 
     n_win = win_local.shape[0]
     # per-window mean bone length — the chunk-wide mean of the raw estimate
@@ -225,10 +243,9 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
     win_bl = jnp.broadcast_to(chunk_bl, (n_win, 15))
 
     # ---- stage 1: local pose, heatmap term on --------------------------
-    use_reproj = cfg.energy.reproj != 0.0
     mid_local_win = optimize_stage(
         model, local_variables, win_local, win_heat, win_bl, camera,
-        local_w, use_reproj, cfg)
+        local_w, use_reproj, cfg, origins=win_org, full_hw=full_hw)
 
     # ---- lift to relative-global and world frames ----------------------
     est_rel = relative_global_pose(win_local, win_cam)
@@ -294,6 +311,17 @@ def optimize_chunks_flat(model: ConvVAE, local_variables,
     win_local = windows_of(estimated_local)          # (C, W, T, 15, 3)
     win_cam = windows_of(camera_seq)
     win_gt = windows_of(gt_seq)
+
+    # crop BEFORE windowing (window-independent; see optimize_chunk) —
+    # the full maps are read once, windowing touches only the crops
+    use_reproj = cfg.energy.reproj != 0.0
+    f_org, full_hw = None, None
+    if use_reproj and cfg.heatmap_crop > 0:
+        from globalegomocap_tpu.energy.terms import (
+            crop_heatmaps_channels_last)
+        heatmap_seq, origins, full_hw = crop_heatmaps_channels_last(
+            heatmap_seq, cfg.heatmap_crop)      # (C,N,k,k,J), (C,N,J,2)
+        win_org = windows_of(origins)           # (C,W,T,J,2)
     win_heat = jnp.moveaxis(windows_of(heatmap_seq), -1, 3)
     w_per = win_local.shape[1]
 
@@ -304,10 +332,12 @@ def optimize_chunks_flat(model: ConvVAE, local_variables,
         return x.reshape((c * w_per,) + x.shape[2:])
 
     f_local, f_cam, f_heat = flat(win_local), flat(win_cam), flat(win_heat)
+    if full_hw is not None:
+        f_org = flat(win_org)
 
-    use_reproj = cfg.energy.reproj != 0.0
     mid_local = optimize_stage(model, local_variables, f_local, f_heat,
-                               bl_flat, camera, local_w, use_reproj, cfg)
+                               bl_flat, camera, local_w, use_reproj, cfg,
+                               origins=f_org, full_hw=full_hw)
 
     est_rel = relative_global_pose(f_local, f_cam)
     mid_rel = relative_global_pose(mid_local, f_cam)

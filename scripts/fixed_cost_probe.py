@@ -94,7 +94,7 @@ def main():
     out["crop_guard_ms"] = round(1e3 * timeit(
         lambda: opt._effective_cfg(heat), n=5), 2)
 
-    # full driver path (stacks + guard + program + sync), as bench.py times
+    # full driver path (stacks + guard + program + sync), legacy list input
     def full():
         res = opt.optimize_chunks_batched(chunks, mode="flat")
         jax.block_until_ready(res.optimized)
@@ -102,6 +102,26 @@ def main():
     full()
     out["compile_s"] = round(time.perf_counter() - t0, 1)
     out["full_driver_ms"] = round(1e3 * timeit(full, n=3), 2)
+
+    # staged serving path: stage() once, then one launch + one sync/call
+    staged = opt.stage(chunks)
+    def staged_call():
+        res = opt.optimize_chunks_batched(staged, mode="flat")
+        jax.block_until_ready(res.optimized)
+    out["staged_driver_ms"] = round(1e3 * timeit(staged_call, n=5), 2)
+    out["windows_per_sec_staged"] = round(
+        wins / (out["staged_driver_ms"] / 1e3), 1)
+
+    # pipelined: 4 launches in flight, one sync — steady-state serving
+    def pipelined():
+        rs = [opt.optimize_chunks_batched(staged, mode="flat")
+              for _ in range(4)]
+        for r in rs:
+            jax.block_until_ready(r.optimized)
+    out["pipelined4_ms_per_launch"] = round(1e3 * timeit(pipelined, n=3) / 4,
+                                            2)
+    out["windows_per_sec_pipelined"] = round(
+        wins / (out["pipelined4_ms_per_launch"] / 1e3), 1)
 
     # (d) the compiled program ONLY, inputs pre-stacked, single sync
     jitted = next(v for k, v in opt._jit_cache.items()

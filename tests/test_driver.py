@@ -91,3 +91,22 @@ def test_optimize_sequence_dir(seq_dir, optimizer, capsys):
     k = "original_global_mpjpe"
     np.testing.assert_allclose(averages[k],
                                np.mean([e[k] for e in errors]), rtol=1e-6)
+
+
+def test_staged_batch_matches_list_path(optimizer):
+    """stage() + optimize_chunks_batched(StagedBatch) — the zero-overhead
+    serving path — must be bit-identical to passing the chunk list, at a
+    non-divisible chunk count (C=3 on the 8-device mesh) in both modes.
+    The staged object resolves the crop-guard coverage at staging time."""
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    chunks = [synthetic_chunk(n_frames=26, seed=s) for s in (31, 32, 33)]
+    staged = optimizer.stage(chunks)
+    assert staged.n_chunks == 3
+    # guard inapplicable at crop=0 default config -> coverage None
+    assert staged.crop_coverage is None or 0.0 <= staged.crop_coverage <= 1.0
+    for mode in ("flat", "vmap"):
+        via_list = optimizer.optimize_chunks_batched(chunks, mode=mode)
+        via_staged = optimizer.optimize_chunks_batched(staged, mode=mode)
+        assert via_staged.optimized.shape == (3, 26, 15, 3)
+        np.testing.assert_array_equal(np.asarray(via_list.optimized),
+                                      np.asarray(via_staged.optimized))

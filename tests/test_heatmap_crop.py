@@ -221,3 +221,37 @@ def test_heatmap_crop_in_pipeline():
             axis=-1).mean())
     assert quality(r1, "optimized") <= quality(r0, "optimized") * 1.05 + 1e-3
     assert quality(r1, "mid") <= quality(r0, "mid") * 1.05 + 1e-3
+
+
+def test_channels_last_crop_matches_transposed():
+    """crop_heatmaps_channels_last on (..., H, W, J) storage layout must
+    produce exactly the crops/origins of crop_heatmaps on the transposed
+    (..., J, H, W) maps — it exists so the pipeline can crop the raw
+    per-frame maps BEFORE windowing (window-independent; kills the
+    full-map windowing+transpose launch cost, fixed_cost_probe.json)."""
+    import jax.numpy as jnp
+    from globalegomocap_tpu.energy.terms import crop_heatmaps_channels_last
+    rng = np.random.default_rng(7)
+    maps_cl = jnp.asarray(rng.random((4, 64, 64, 15), dtype=np.float32))
+    crops_cl, org_cl, hw_cl = crop_heatmaps_channels_last(maps_cl, 16)
+    crops_t, org_t, hw_t = crop_heatmaps(jnp.moveaxis(maps_cl, -1, -3), 16)
+    assert hw_cl == hw_t == (64, 64)
+    np.testing.assert_array_equal(np.asarray(jnp.moveaxis(crops_cl, -1, -3)),
+                                  np.asarray(crops_t))
+    np.testing.assert_array_equal(np.asarray(org_cl), np.asarray(org_t))
+
+
+def test_channels_last_crop_peak_at_border():
+    """Border peaks: the clip keeps the k x k crop inside the map in the
+    channels-last variant too."""
+    import jax.numpy as jnp
+    from globalegomocap_tpu.energy.terms import crop_heatmaps_channels_last
+    maps = np.zeros((1, 32, 32, 2), dtype=np.float32)
+    maps[0, 0, 0, 0] = 1.0     # corner peak, joint 0
+    maps[0, 31, 31, 1] = 1.0   # opposite corner, joint 1
+    crops, org, _ = crop_heatmaps_channels_last(jnp.asarray(maps), 8)
+    assert crops.shape == (1, 8, 8, 2)
+    np.testing.assert_array_equal(np.asarray(org[0, 0]), [0.0, 0.0])
+    np.testing.assert_array_equal(np.asarray(org[0, 1]), [24.0, 24.0])
+    assert float(crops[0, 0, 0, 0]) == 1.0
+    assert float(crops[0, 7, 7, 1]) == 1.0
