@@ -1,0 +1,134 @@
+"""Quality evidence for the round-2 speed knobs: max_iter and heatmap_crop.
+
+perf_levers_r2c.json measured iter15 at 1147 vs iter25 at 1065 windows/s
+(shift decoder) and crop8 at 1277.7 — both quality-unverified at the
+round-2 prior recipe.  This experiment trains the full-size priors ONCE
+with the headline recipe (kl0 / logvar -6 / cosine; see run_headline.py),
+then evaluates each solver/crop configuration on the headline's exact
+5-sequence workload, recording the four tripwire metrics + throughput so
+defaults are chosen with evidence.
+
+Run on the TPU: python scripts/quality_iter_crop.py
+Writes quality_iter_crop.json.  QIC_EPOCHS overrides training length.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, PriorConfig, SolverConfig, TrainConfig)
+    from globalegomocap_tpu.data.amass import AmassWindows
+    from globalegomocap_tpu.data.synthetic import (
+        synthetic_amass, synthetic_chunk)
+    from globalegomocap_tpu.data.test_data import TestChunk
+    from globalegomocap_tpu.evaluation.metrics import calculate_errors
+    from globalegomocap_tpu.models.conv_vae import ConvVAE
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model)
+    from globalegomocap_tpu.optimize.window import num_windows
+    from globalegomocap_tpu.train.train_vae import Trainer
+
+    epochs = int(os.environ.get("QIC_EPOCHS", "768"))
+    seqs = synthetic_amass(n_sequences=10, frames_per_seq=250, seed=5)
+
+    def train(local_pose):
+        cfg = TrainConfig(latent_dim=2048, seq_length=10, epochs=epochs,
+                          batch_size=64, kl_weight=0.0,
+                          learning_rate=1e-3, lr_schedule="cosine",
+                          lr_final=3e-5, logvar_init_bias=-6.0,
+                          log_step=0)
+        ds = AmassWindows.from_sequences(seqs, frame_num=10,
+                                         local_pose=local_pose)
+        tr = Trainer(cfg, ds, AmassWindows(ds.windows[::17]),
+                     ConvVAE(latent_dim=2048, seq_len=10))
+        t0 = time.time()
+        tr.train(log_fn=lambda *_: None)
+        print(f"{'local' if local_pose else 'global'} prior recon "
+              f"{tr.evaluate():.4f} ({time.time()-t0:.0f}s)", flush=True)
+        return tr.variables
+
+    local_vars = train(True)
+    global_vars = train(False)
+
+    # the headline's exact 5x5-chunk workload
+    chunks = [synthetic_chunk(100, seed=1000 * i + j)
+              for i in range(5) for j in range(5)]
+    chunks = [TestChunk(*(jax.device_put(jnp.asarray(a)) for a in c))
+              for c in chunks]
+    wins = num_windows(100) * len(chunks)
+
+    metric_keys = ["original_global_mpjpe", "optimized_global_mpjpe",
+                   "original_camera_pos_error",
+                   "optimized_camera_pos_error",
+                   "aligned_original_mpjpe", "aligned_optimized_mpjpe",
+                   "bone_length_aligned_original_mpjpe",
+                   "bone_length_aligned_optimized_mpjpe"]
+
+    results = []
+
+    def measure(label, max_iter, crop):
+        cfg = OptimizeConfig(
+            prior=PriorConfig(latent_dim=2048, seq_len=10),
+            solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
+                                history_size=10, max_iter=max_iter),
+            sampling_impl="dense", fold_bn=True, dense_decoder=True,
+            decoder_impl="shift", heatmap_crop=crop)
+        opt = SequenceOptimizer(build_model(cfg), local_vars,
+                                global_vars, cfg)
+        staged = opt.stage(chunks)
+        res = opt.optimize_chunks_batched(staged, mode="flat")  # compile
+        jax.block_until_ready(res.optimized)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = opt.optimize_chunks_batched(staged, mode="flat")
+            jax.block_until_ready(res.optimized)
+            ts.append(time.perf_counter() - t0)
+        per_chunk = []
+        for i in range(len(chunks)):
+            e = calculate_errors(res.estimated[i], res.mid[i],
+                                 res.optimized[i], res.gt[i])
+            per_chunk.append({k: float(np.asarray(e[k]))
+                              for k in metric_keys})
+        rec = {"label": label, "max_iter": max_iter, "heatmap_crop": crop,
+               "windows_per_sec": round(wins / min(ts), 1)}
+        for k in metric_keys:
+            rec[k] = round(float(np.mean([e[k] for e in per_chunk])), 5)
+        rec["tripwires_pass"] = bool(
+            rec["optimized_global_mpjpe"] < rec["original_global_mpjpe"]
+            and rec["optimized_camera_pos_error"]
+            < rec["original_camera_pos_error"]
+            and rec["aligned_optimized_mpjpe"]
+            < rec["aligned_original_mpjpe"]
+            and rec["bone_length_aligned_optimized_mpjpe"]
+            < rec["bone_length_aligned_original_mpjpe"])
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+        with open(os.path.join(REPO, "quality_iter_crop.json"), "w") as f:
+            json.dump(results, f, indent=1)
+
+    measure("iter25_crop16", 25, 16)   # current default
+    measure("iter15_crop16", 15, 16)
+    measure("iter20_crop16", 20, 16)
+    measure("iter25_crop8", 25, 8)
+    measure("iter15_crop8", 15, 8)
+    measure("iter25_crop0", 25, 0)     # full maps: the quality ceiling
+
+
+if __name__ == "__main__":
+    main()
