@@ -194,7 +194,8 @@ def main():
                           if isinstance(k, tuple) and k[0] == "batched")
             ca = jitted.lower(opt.local_variables, opt.global_variables,
                               staged.est, staged.cams, staged.heat,
-                              staged.gt).compile().cost_analysis()
+                              staged.gt, staged.origins
+                              ).compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             flops = float(ca.get("flops", 0.0))

@@ -51,10 +51,13 @@ class StagedBatch:
     measured those at ~94 ms of a 237 ms launch — 40% of wall-clock)."""
     est: Any            # (C, F, 15, 3) stacked estimated_local
     cams: Any           # (C, F, 4, 4)
-    heat: Any           # (C, W, T, H, W, J) stacked heatmaps
+    heat: Any           # (C, F, H, W, J) raw maps — or (C, F, k, k, J)
+                        # peak crops when pre-cropped at staging
     gt: Any             # (C, F, 15, 3)
     n_chunks: int       # pre-padding chunk count (slice results back)
     crop_coverage: float | None  # guard statistic, resolved at staging
+    origins: Any = None          # (C, F, J, 2) crop origins if pre-cropped
+    full_hw: tuple | None = None  # original (H, W) if pre-cropped
 
 
 @dataclass
@@ -137,6 +140,25 @@ class SequenceOptimizer:
         heat = jnp.stack([jnp.asarray(c.heatmaps) for c in chunks])
         gt = jnp.stack([jnp.asarray(c.gt_global) for c in chunks])
         cov = self._crop_coverage(heat)
+
+        # Pre-crop at staging: crop extraction only reads the raw maps
+        # (solver-independent data prep), so doing it here shrinks the
+        # solve program's heatmap input 16x (k=16 on 64x64 maps) and
+        # removes the full-map read from every launch.  Skipped when the
+        # mass guard fell back to full maps.
+        origins, full_hw = None, None
+        eff = self._cfg_for_coverage(cov)
+        if eff.heatmap_crop > 0 and eff.energy.reproj != 0.0:
+            from globalegomocap_tpu.energy.terms import (
+                crop_heatmaps_channels_last)
+            key = ("precrop", eff.heatmap_crop)
+            if key not in self._jit_cache:
+                k = eff.heatmap_crop
+                self._jit_cache[key] = jax.jit(
+                    lambda h: crop_heatmaps_channels_last(h, k)[:2])
+            full_hw = (heat.shape[-3], heat.shape[-2])
+            heat, origins = self._jit_cache[key](heat)
+
         n_chunks = est.shape[0]
         n_dev = len(jax.devices())
         if n_dev > 1:
@@ -144,7 +166,10 @@ class SequenceOptimizer:
             cams, _ = pad_to_multiple(cams, n_dev)
             heat, _ = pad_to_multiple(heat, n_dev)
             gt, _ = pad_to_multiple(gt, n_dev)
-        return StagedBatch(est, cams, heat, gt, n_chunks, cov)
+            if origins is not None:
+                origins, _ = pad_to_multiple(origins, n_dev)
+        return StagedBatch(est, cams, heat, gt, n_chunks, cov,
+                           origins, full_hw)
 
     def optimize_chunks_batched(self,
                                 chunks: "list[TestChunk] | StagedBatch",
@@ -181,26 +206,31 @@ class SequenceOptimizer:
         cfg = self._cfg_for_coverage(staged.crop_coverage)
         n_dev = len(jax.devices())
 
-        key = ("batched", mode, est.shape, n_dev, cfg.heatmap_crop)
+        key = ("batched", mode, est.shape, n_dev, cfg.heatmap_crop,
+               staged.full_hw)
         if key not in self._jit_cache:
             pipeline_fn = (optimize_chunks_flat if mode == "flat"
                            else optimize_chunks_batched)
+            full_hw = staged.full_hw
 
-            def run(lv, gv, est, cams, heat, gt):
+            def run(lv, gv, est, cams, heat, gt, org):
                 return pipeline_fn(self.model, lv, gv, est, cams, heat,
-                                   gt, self._camera, cfg)
+                                   gt, self._camera, cfg, origins=org,
+                                   full_hw=full_hw)
 
             if n_dev > 1:
                 mesh = make_mesh()
                 repl = replicate(mesh)
                 sh = shard_batch(mesh)
+                org_sh = sh if staged.origins is not None else repl
                 self._jit_cache[key] = jax.jit(
-                    run, in_shardings=(repl, repl, sh, sh, sh, sh))
+                    run, in_shardings=(repl, repl, sh, sh, sh, sh,
+                                       org_sh))
             else:
                 self._jit_cache[key] = jax.jit(run)
         res = self._jit_cache[key](self.local_variables,
                                    self.global_variables,
-                                   est, cams, heat, gt)
+                                   est, cams, heat, gt, staged.origins)
         if res.estimated.shape[0] != n_chunks:
             res = jax.tree_util.tree_map(lambda x: x[:n_chunks], res)
         return res

@@ -202,13 +202,17 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
 def optimize_chunk(model: ConvVAE, local_variables, global_variables,
                    estimated_local, camera_seq, heatmap_seq, gt_seq,
                    camera: fisheye.FisheyeParams,
-                   cfg: OptimizeConfig) -> ChunkResult:
+                   cfg: OptimizeConfig, origins=None,
+                   full_hw=None) -> ChunkResult:
     """Run the full two-stage pipeline over one sequence chunk.
 
     estimated_local: (N, 15, 3) per-frame camera-space pose estimates.
     camera_seq:      (N, 4, 4) cam->world matrices (SLAM).
     heatmap_seq:     (N, H, W, 15) raw per-frame heatmaps (storage layout of
-                     test_data.pkl, reference: process_test_data.py:149-155).
+                     test_data.pkl, reference: process_test_data.py:149-155)
+                     — or (N, k, k, 15) pre-cropped peak windows when
+                     `origins` (N, 15, 2) and `full_hw` are given (crop
+                     extraction done at staging; driver.StagedBatch).
     gt_seq:          (N, 15, 3) ground truth world-frame poses.
     """
     seq_len, stride = cfg.window.seq_len, cfg.window.stride
@@ -225,8 +229,11 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
     # crops.  Window-then-crop order cost ~63 ms/launch of pure data
     # motion on the full maps (fixed_cost_probe.json).
     use_reproj = cfg.energy.reproj != 0.0
-    win_org, full_hw = None, None
-    if use_reproj and cfg.heatmap_crop > 0:
+    win_org = None
+    if origins is not None:
+        # pre-cropped at staging — just window the crop origins
+        win_org = slice_windows(origins, seq_len, stride)  # (W,T,J,2)
+    elif use_reproj and cfg.heatmap_crop > 0:
         from globalegomocap_tpu.energy.terms import (
             crop_heatmaps_channels_last)
         crops, origins, full_hw = crop_heatmaps_channels_last(
@@ -286,7 +293,8 @@ def optimize_chunks_flat(model: ConvVAE, local_variables,
                          global_variables, estimated_local, camera_seq,
                          heatmap_seq, gt_seq,
                          camera: fisheye.FisheyeParams,
-                         cfg: OptimizeConfig) -> ChunkResult:
+                         cfg: OptimizeConfig, origins=None,
+                         full_hw=None) -> ChunkResult:
     """Optimize many equal-length chunks with the window axes of ALL chunks
     CONCATENATED into one flat solver batch.
 
@@ -313,14 +321,17 @@ def optimize_chunks_flat(model: ConvVAE, local_variables,
     win_gt = windows_of(gt_seq)
 
     # crop BEFORE windowing (window-independent; see optimize_chunk) —
-    # the full maps are read once, windowing touches only the crops
+    # the full maps are read once, windowing touches only the crops.
+    # When `origins` is given the crops were already extracted at staging
+    # (driver.StagedBatch) and the program never sees the full maps.
     use_reproj = cfg.energy.reproj != 0.0
-    f_org, full_hw = None, None
-    if use_reproj and cfg.heatmap_crop > 0:
+    f_org = None
+    if origins is None and use_reproj and cfg.heatmap_crop > 0:
         from globalegomocap_tpu.energy.terms import (
             crop_heatmaps_channels_last)
         heatmap_seq, origins, full_hw = crop_heatmaps_channels_last(
             heatmap_seq, cfg.heatmap_crop)      # (C,N,k,k,J), (C,N,J,2)
+    if origins is not None:
         win_org = windows_of(origins)           # (C,W,T,J,2)
     win_heat = jnp.moveaxis(windows_of(heatmap_seq), -1, 3)
     w_per = win_local.shape[1]
@@ -380,20 +391,25 @@ def optimize_chunks_batched(model: ConvVAE, local_variables,
                             global_variables, estimated_local, camera_seq,
                             heatmap_seq, gt_seq,
                             camera: fisheye.FisheyeParams,
-                            cfg: OptimizeConfig) -> ChunkResult:
+                            cfg: OptimizeConfig, origins=None,
+                            full_hw=None) -> ChunkResult:
     """Optimize MANY equal-length chunks in one device launch.
 
     All arrays carry a leading chunk axis (C, N, ...); the whole two-stage
     pipeline (including per-chunk merge and final smoothing) is vmapped
     over it.  On a multi-chip mesh the chunk axis is the sharding axis
     (parallel.mesh.shard_batch) — the reference's entire 5-sequence
-    evaluation becomes one call.
+    evaluation becomes one call.  `origins`/`full_hw` carry staged-time
+    crop placement (driver.StagedBatch).
     """
-    def one(est, cams, heat, gt):
+    def one(est, cams, heat, gt, org):
         return optimize_chunk(model, local_variables, global_variables,
-                              est, cams, heat, gt, camera, cfg)
+                              est, cams, heat, gt, camera, cfg,
+                              origins=org, full_hw=full_hw)
 
-    return jax.vmap(one)(estimated_local, camera_seq, heatmap_seq, gt_seq)
+    return jax.vmap(one, in_axes=(0, 0, 0, 0,
+                                  0 if origins is not None else None))(
+        estimated_local, camera_seq, heatmap_seq, gt_seq, origins)
 
 
 def make_chunk_optimizer(model: ConvVAE, cfg: OptimizeConfig,

@@ -123,12 +123,14 @@ def main():
     out["windows_per_sec_pipelined"] = round(
         wins / (out["pipelined4_ms_per_launch"] / 1e3), 1)
 
-    # (d) the compiled program ONLY, inputs pre-stacked, single sync
+    # (d) the compiled program ONLY, inputs pre-staged, single sync
+    staged2 = opt.stage(chunks)
     jitted = next(v for k, v in opt._jit_cache.items()
                   if isinstance(k, tuple) and k[0] == "batched")
     def program_only():
         res = jitted(opt.local_variables, opt.global_variables,
-                     est, cams, heat, gt)
+                     staged2.est, staged2.cams, staged2.heat, staged2.gt,
+                     staged2.origins)
         jax.block_until_ready(res.optimized)
     out["program_only_ms"] = round(1e3 * timeit(program_only, n=5), 2)
     out["windows_per_sec_program_only"] = round(
@@ -143,9 +145,11 @@ def main():
     out["compile_iter1_s"] = round(time.perf_counter() - t0, 1)
     jit1 = next(v for k, v in opt1._jit_cache.items()
                 if isinstance(k, tuple) and k[0] == "batched")
+    staged1 = opt1.stage(chunks)
     def program_iter1():
         res = jit1(opt1.local_variables, opt1.global_variables,
-                   est, cams, heat, gt)
+                   staged1.est, staged1.cams, staged1.heat, staged1.gt,
+                   staged1.origins)
         jax.block_until_ready(res.optimized)
     out["program_iter1_ms"] = round(1e3 * timeit(program_iter1, n=5), 2)
 

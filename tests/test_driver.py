@@ -110,3 +110,32 @@ def test_staged_batch_matches_list_path(optimizer):
         assert via_staged.optimized.shape == (3, 26, 15, 3)
         np.testing.assert_array_equal(np.asarray(via_list.optimized),
                                       np.asarray(via_staged.optimized))
+
+
+def test_staged_precrop_matches_in_program_crop():
+    """With heatmap_crop on, stage() extracts the peak crops at staging
+    time (the program never sees the full maps); results must match the
+    list path, whose crops are extracted inside the program, in both
+    modes — crop extraction is window- and solver-independent."""
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    cfg = OptimizeConfig(
+        prior=PriorConfig(latent_dim=32, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=3,
+                            history_size=3),
+        heatmap_crop=8)
+    model = build_model(cfg)
+    x = jnp.zeros((1, 10, 45))
+    v = model.init(jax.random.PRNGKey(0), x, False)
+    opt = SequenceOptimizer(model, v, v, cfg)
+    chunks = [synthetic_chunk(n_frames=26, seed=s) for s in (41, 42, 43)]
+    staged = opt.stage(chunks)
+    assert staged.origins is not None          # precrop actually happened
+    assert staged.heat.shape[-3:-1] == (8, 8)  # crops, not full maps
+    assert staged.full_hw == chunks[0].heatmaps.shape[1:3]
+    for mode in ("flat", "vmap"):
+        via_list = opt.optimize_chunks_batched(chunks, mode=mode)
+        via_staged = opt.optimize_chunks_batched(staged, mode=mode)
+        np.testing.assert_allclose(np.asarray(via_list.optimized),
+                                   np.asarray(via_staged.optimized),
+                                   rtol=1e-5, atol=1e-6)
