@@ -114,9 +114,15 @@ class SequenceOptimizer:
         at staging time instead, see stage())."""
         return self._cfg_for_coverage(self._crop_coverage(heatmaps))
 
-    def optimize_chunk(self, chunk: TestChunk) -> ChunkResult:
+    def optimize_chunk(self, chunk: TestChunk,
+                       cfg: OptimizeConfig | None = None) -> ChunkResult:
+        """Optimize one chunk.  `cfg` overrides the guard resolution —
+        pass a previously resolved effective config to skip the crop
+        guard's blocking readback (serving pipelines do this; the guard
+        readback would otherwise stall the dispatch pipeline per chunk)."""
         heat = jnp.asarray(chunk.heatmaps)
-        cfg = self._effective_cfg(chunk.heatmaps)
+        if cfg is None:
+            cfg = self._effective_cfg(chunk.heatmaps)
         if cfg.heatmap_crop not in self._jitted:
             self._jitted[cfg.heatmap_crop] = make_chunk_optimizer(
                 self.model, cfg, self._camera)

@@ -27,16 +27,36 @@ from globalegomocap_tpu.utils.profiling import ThroughputMeter
 
 
 class StreamingOptimizer:
-    """Pipelined chunk optimization with bounded in-flight depth."""
+    """Pipelined chunk optimization with bounded in-flight depth.
+
+    guard: crop-mass-guard policy per submitted chunk —
+      'first' (default): resolve the guard on the first chunk, reuse the
+        decision for the stream (ONE blocking readback total; a capture
+        session's maps come from one network, so coverage is stationary);
+      'every': re-resolve per chunk (a blocking readback per submit — a
+        dispatch-pipeline bubble, only for non-stationary map sources);
+      'off': never crop-guard (use the configured heatmap_crop as-is).
+    """
 
     def __init__(self, optimizer: SequenceOptimizer,
-                 max_in_flight: int = 2):
+                 max_in_flight: int = 2, guard: str = "first"):
+        if guard not in ("first", "every", "off"):
+            raise ValueError(f"unknown guard policy {guard!r}")
         self.optimizer = optimizer
         self.max_in_flight = max_in_flight
+        self.guard = guard
+        self._guard_cfg = optimizer.cfg if guard == "off" else None
         self._in_flight: collections.deque = collections.deque()
         self._completed: list[ChunkResult] = []
         self.meter = ThroughputMeter(unit="chunks")
         self._t_first: float | None = None
+
+    def _chunk_cfg(self, chunk: TestChunk):
+        if self.guard == "every":
+            return self.optimizer._effective_cfg(chunk.heatmaps)
+        if self._guard_cfg is None:
+            self._guard_cfg = self.optimizer._effective_cfg(chunk.heatmaps)
+        return self._guard_cfg
 
     def submit(self, chunk: TestChunk) -> None:
         """Enqueue a chunk.  Returns as soon as the work is dispatched;
@@ -46,7 +66,8 @@ class StreamingOptimizer:
             self._t_first = time.perf_counter()
         while len(self._in_flight) >= self.max_in_flight:
             self._finish_oldest()
-        self._in_flight.append(self.optimizer.optimize_chunk(chunk))
+        self._in_flight.append(
+            self.optimizer.optimize_chunk(chunk, cfg=self._chunk_cfg(chunk)))
 
     def _finish_oldest(self) -> None:
         result = self._in_flight.popleft()
@@ -86,10 +107,14 @@ class MultiStreamOptimizer:
     """
 
     def __init__(self, optimizer: SequenceOptimizer,
-                 max_in_flight: int = 2):
+                 max_in_flight: int = 2, guard: str = "first"):
         import heapq  # noqa: F401  (documented dependency)
+        if guard not in ("first", "every", "off"):
+            raise ValueError(f"unknown guard policy {guard!r}")
         self.optimizer = optimizer
         self.max_in_flight = max_in_flight
+        self.guard = guard
+        self._guard_cfg = optimizer.cfg if guard == "off" else None
         self._pending: list = []           # heap of (-prio, seq, name, chunk)
         self._seq = 0
         self._priorities: dict[str, int] = {}
@@ -126,8 +151,15 @@ class MultiStreamOptimizer:
         while self._pending and len(self._in_flight) < self.max_in_flight:
             _, _, name, chunk = heapq.heappop(self._pending)
             self.dispatch_order.append(name)
+            if self.guard == "every":
+                cfg = self.optimizer._effective_cfg(chunk.heatmaps)
+            else:
+                if self._guard_cfg is None:
+                    self._guard_cfg = self.optimizer._effective_cfg(
+                        chunk.heatmaps)
+                cfg = self._guard_cfg
             self._in_flight.append(
-                (name, self.optimizer.optimize_chunk(chunk)))
+                (name, self.optimizer.optimize_chunk(chunk, cfg=cfg)))
 
     def _finish_oldest(self) -> None:
         name, result = self._in_flight.popleft()

@@ -87,3 +87,36 @@ def test_multi_stream_priority_scheduling():
     ms.submit("high", high[0])
     again = ms.drain()
     assert len(again["high"]) == 1 and len(again["low"]) == 0
+
+
+def test_streaming_guard_policy_resolves_once():
+    """guard='first' pays the crop-guard readback once per stream and
+    reuses the decision; guard='every' re-resolves per chunk; results are
+    identical for stationary map sources."""
+    cfg = OptimizeConfig(
+        prior=PriorConfig(latent_dim=16, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=2,
+                            history_size=2),
+        heatmap_crop=8)
+    model = build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    opt = SequenceOptimizer(model, v, v, cfg)
+    chunks = [synthetic_chunk(26, seed=s) for s in (61, 62)]
+
+    calls = []
+    orig = opt._effective_cfg
+    opt._effective_cfg = lambda h: (calls.append(1), orig(h))[1]
+
+    first = StreamingOptimizer(opt, guard="first").process_all(chunks)
+    n_first = len(calls)
+    every = StreamingOptimizer(opt, guard="every").process_all(chunks)
+    n_every = len(calls) - n_first
+    off = StreamingOptimizer(opt, guard="off").process_all(chunks)
+    assert n_first == 1 and n_every == 2 and len(calls) == n_first + n_every
+    for a, b in zip(first, every):
+        np.testing.assert_array_equal(np.asarray(a.optimized),
+                                      np.asarray(b.optimized))
+    for a, b in zip(first, off):
+        np.testing.assert_array_equal(np.asarray(a.optimized),
+                                      np.asarray(b.optimized))
