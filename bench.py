@@ -63,6 +63,11 @@ CIRCULAR_HISTORY = os.environ.get("BENCH_CIRCULAR_HISTORY", "0") == "1"
 # with it): m=10 gives 1326 vs 1122 windows/s at m=25 with identical e2e
 # quality (tests/test_e2e_quality.py); m=5 saturates at the same 1324
 HISTORY = int(os.environ.get("BENCH_HISTORY", "10"))
+# solver iterations per stage: 15 beats 25 on BOTH speed and quality with
+# trained full-size priors (quality_iter_crop.json: 2566 vs 1908 w/s,
+# raw-global 0.03807 vs 0.03899, all tripwires pass) — fewer energy
+# iterations keep the solution closer to the anchor
+MAX_ITER = int(os.environ.get("BENCH_MAX_ITER", "15"))
 # 'bfloat16' halves HBM traffic of the heatmap sampling path (the
 # dominant eval cost, solver_floor_noreproj.json)
 HEATMAP_DTYPE = os.environ.get("BENCH_HEATMAP_DTYPE", "float32")
@@ -108,7 +113,7 @@ def main():
         solver=SolverConfig(method=SOLVER, fused_probes=FUSED_PROBES,
                             compact_direction=COMPACT_DIR,
                             circular_history=CIRCULAR_HISTORY,
-                            history_size=HISTORY),
+                            history_size=HISTORY, max_iter=MAX_ITER),
         sampling_impl=SAMPLING,
         fold_bn=FOLD_BN,
         dense_decoder=DENSE_DECODER,

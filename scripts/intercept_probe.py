@@ -53,8 +53,8 @@ def main():
               for c in chunks]
 
     def solver(**kw):
-        return SolverConfig(method="lbfgs_fixed", fused_probes=True,
-                            history_size=10, **kw)
+        kw.setdefault("history_size", 10)
+        return SolverConfig(method="lbfgs_fixed", fused_probes=True, **kw)
 
     base = OptimizeConfig(
         prior=PriorConfig(latent_dim=2048, seq_len=10),
@@ -85,6 +85,14 @@ def main():
     measure("iter1_reproj0", with_overrides(
         base, energy=EnergyConfig(reproj=0.0)))
     measure("iter1_nosmooth", with_overrides(base, final_smooth=False))
+
+    # solver-structure share of the iteration slope: the two-loop
+    # recursion + history rolls scale with m, the objective eval doesn't
+    measure("iter25_m10", with_overrides(base, solver=solver(max_iter=25)))
+    measure("iter25_m1", with_overrides(
+        base, solver=solver(max_iter=25, history_size=1)))
+    out["two_loop_ms_per_iter_m10_vs_m1"] = round(
+        (out["iter25_m10_ms"] - out["iter25_m1_ms"]) / 25.0, 3)
 
     # isolated pieces
     from globalegomocap_tpu.energy.terms import crop_heatmaps_channels_last
