@@ -53,6 +53,11 @@ class SolverConfig:
     # per iteration instead of three O(m*d) jnp.roll buffer rotations
     # (identical trajectories, tests/test_lbfgs_fixed.py)
     circular_history: bool = False
+    # fixed solver: fuse the whole two-loop recursion into one Pallas
+    # kernel per lane (VMEM-resident; the sequential dots are otherwise
+    # launch-latency-bound — 0.614 of 1.73 ms/iteration at the production
+    # batch, intercept_probe.json); identical math incl. slot masking
+    pallas_direction: bool = False
     # rematerialize the decoder in the backward pass (trades FLOPs for HBM,
     # for very large window batches)
     remat: bool = False

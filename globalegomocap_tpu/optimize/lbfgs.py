@@ -450,7 +450,8 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
                          c1: float = 1e-4,
                          fused_probes: bool = False,
                          compact_direction: bool = False,
-                         circular_history: bool = False) -> LBFGSResult:
+                         circular_history: bool = False,
+                         pallas_direction: bool = False) -> LBFGSResult:
     """L-BFGS with a PARALLEL Armijo line search and fully static control
     flow (lax.scan, no while loops).
 
@@ -493,7 +494,14 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
 
     def step(carry, it):
         x, f, g, s_hist, y_hist, rho_hist, valid, ptr = carry
-        if compact_direction:
+        if pallas_direction:
+            # whole two-loop fused into one VMEM-resident kernel (the
+            # sequential dots/axpys are launch-latency-bound under vmap;
+            # see ops/pallas/lbfgs_direction.py)
+            from globalegomocap_tpu.ops.pallas.lbfgs_direction import (
+                lbfgs_direction_pallas)
+            d = lbfgs_direction_pallas(g, s_hist, y_hist, rho_hist, valid)
+        elif compact_direction:
             d = _compact_direction(g, s_hist, y_hist, valid)
         elif circular_history:
             d = _two_loop_direction_circular(g, s_hist, y_hist, rho_hist,

@@ -69,7 +69,8 @@ def _solve(cfg: OptimizeConfig, loss, z0):
             lr=s.lr, step_candidates=tuple(s.step_candidates),
             fused_probes=s.fused_probes,
             compact_direction=s.compact_direction,
-            circular_history=s.circular_history).x
+            circular_history=s.circular_history,
+            pallas_direction=s.pallas_direction).x
     return lbfgs_minimize(
         loss, z0, max_iter=s.max_iter, history_size=s.history_size,
         lr=s.lr, tolerance_change=s.tolerance_change,

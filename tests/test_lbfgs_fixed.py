@@ -190,3 +190,74 @@ def test_deterministic_iteration_count():
 
     res = lbfgs_minimize_fixed(loss, jnp.zeros(4), max_iter=7)
     assert int(res.n_iter) == 7
+
+
+def test_pallas_direction_equals_two_loop():
+    """The fused Pallas two-loop kernel (interpret mode on CPU) must match
+    the XLA two-loop recursion for every history fill level, incl. the
+    valid-slot masking and the gamma scaling."""
+    from globalegomocap_tpu.optimize.lbfgs import _two_loop_direction
+    from globalegomocap_tpu.ops.pallas.lbfgs_direction import (
+        lbfgs_direction_pallas)
+    rng = np.random.default_rng(7)
+    m, dim = 8, 24
+    for n_valid in (0, 1, 3, 8):
+        s = np.zeros((m, dim), np.float32)
+        y = np.zeros((m, dim), np.float32)
+        valid = np.zeros((m,), bool)
+        for i in range(m - n_valid, m):
+            si = rng.normal(size=dim).astype(np.float32)
+            yi = si * rng.uniform(0.5, 2.0) + \
+                rng.normal(size=dim).astype(np.float32) * 0.1
+            if float(si @ yi) <= 1e-10:
+                yi = si
+            s[i], y[i], valid[i] = si, yi, True
+        rho = np.where(valid, 1.0 / np.maximum(
+            np.sum(s * y, -1), 1e-12), 0.0).astype(np.float32)
+        g = jnp.asarray(rng.normal(size=dim).astype(np.float32))
+        d0 = _two_loop_direction(g, jnp.asarray(s), jnp.asarray(y),
+                                 jnp.asarray(rho), jnp.asarray(valid))
+        d1 = lbfgs_direction_pallas(g, jnp.asarray(s), jnp.asarray(y),
+                                    jnp.asarray(rho), jnp.asarray(valid))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_direction_vmapped_batch():
+    """Under vmap (the solver's production use) the batching rule turns
+    the lane axis into the kernel grid; results must match per-lane."""
+    from globalegomocap_tpu.optimize.lbfgs import _two_loop_direction
+    from globalegomocap_tpu.ops.pallas.lbfgs_direction import (
+        lbfgs_direction_pallas)
+    rng = np.random.default_rng(3)
+    b, m, dim = 5, 6, 32
+    s = rng.normal(size=(b, m, dim)).astype(np.float32) * 0.1
+    y = (s + rng.normal(size=(b, m, dim)).astype(np.float32) * 0.03)
+    rho = (1.0 / np.sum(s * y, -1)).astype(np.float32)
+    valid = np.ones((b, m), bool)
+    g = rng.normal(size=(b, dim)).astype(np.float32)
+    args = tuple(jnp.asarray(a) for a in (g, s, y, rho, valid))
+    ref = jax.vmap(_two_loop_direction)(*args)
+    pal = jax.vmap(lbfgs_direction_pallas)(*args)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_direction_solver_trajectory():
+    """End-to-end: pallas_direction=True reaches the same solution
+    quality (fp reduction-order differences can flip a candidate pick,
+    so assert quality not bitwise equality)."""
+    rng = np.random.default_rng(8)
+    W = jnp.asarray(rng.normal(size=(10, 10)).astype(np.float32) * 0.4)
+    t = jnp.asarray(rng.normal(size=(10,)).astype(np.float32))
+
+    def loss(x):
+        return jnp.sum((W @ jnp.tanh(x) - t) ** 2) + 0.01 * jnp.sum(x ** 2)
+
+    x0 = jnp.asarray(rng.normal(size=(10,)).astype(np.float32))
+    r0 = lbfgs_minimize_fixed(loss, x0, max_iter=15, fused_probes=True)
+    r1 = lbfgs_minimize_fixed(loss, x0, max_iter=15, fused_probes=True,
+                              pallas_direction=True)
+    np.testing.assert_allclose(float(r1.f), float(r0.f),
+                               rtol=1e-2, atol=1e-6)
+    assert float(r1.f) <= float(r0.f) * 1.01 + 1e-6
