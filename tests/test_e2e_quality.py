@@ -97,7 +97,7 @@ class TestEndToEndQuality:
             base_cfg, fold_bn=True, dense_decoder=True,
             decoder_impl="shift",   # bench default since round 2
             sampling_impl="dense", heatmap_crop=16,
-            solver=SolverConfig(method="lbfgs_fixed", max_iter=20,
+            solver=SolverConfig(method="lbfgs_fixed", max_iter=15,
                                 history_size=10, fused_probes=True))
 
         from globalegomocap_tpu.evaluation.metrics import calculate_errors
