@@ -20,9 +20,11 @@ import time
 import numpy as np
 
 SEED = 0
-# 20 chunks = 240 windows, the size at which throughput saturates
-# (perf_sweep.json); equals ~4 reference evaluation sequences
-N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "20"))
+# 40 chunks = 480 windows: after staged batches removed the host-side
+# launch costs, ~31 ms/launch of RTT+intercept remained — a 480-window
+# flat batch amortizes it better (3958 vs 3332 w/s at 240; 80 chunks
+# over-saturates at 3550 — perf_levers_r2e.json)
+N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "40"))
 FRAMES_PER_CHUNK = 100
 # defaults are the measured-fastest configuration that passes the e2e
 # quality tests (see perf_sweep.json + tests/test_e2e_quality.py)
@@ -71,10 +73,13 @@ MAX_ITER = int(os.environ.get("BENCH_MAX_ITER", "15"))
 # 'bfloat16' halves HBM traffic of the heatmap sampling path (the
 # dominant eval cost, solver_floor_noreproj.json)
 HEATMAP_DTYPE = os.environ.get("BENCH_HEATMAP_DTYPE", "float32")
-# > 0: peak-centered k x k heatmap crops (shrinks the sampling working
-# set — the dominant eval cost): 1097 (k=16) / 1155 (k=8) vs 998 full
-# windows/s; k=16 default (quality-backed by tests/test_e2e_quality.py)
-HEATMAP_CROP = int(os.environ.get("BENCH_HEATMAP_CROP", "16"))
+# > 0: peak-centered k x k heatmap crops, extracted ONCE at staging
+# (the program never reads the full maps).  k=8 default: quality-verified
+# with trained full-size priors on the 5-sequence workload — all
+# tripwires pass, raw-global within 0.0002 of crop16, which is itself
+# EXACTLY lossless vs full maps (quality_iter_crop.json); the mass guard
+# falls back to full maps for multimodal/flattened sources
+HEATMAP_CROP = int(os.environ.get("BENCH_HEATMAP_CROP", "8"))
 
 # torch-CPU reference-equivalent baseline (windows/sec, two stages), as
 # measured by scripts/measure_torch_baseline.py on this machine; see

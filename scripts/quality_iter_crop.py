@@ -81,11 +81,11 @@ def main():
 
     results = []
 
-    def measure(label, max_iter, crop):
+    def measure(label, max_iter, crop, history=10):
         cfg = OptimizeConfig(
             prior=PriorConfig(latent_dim=2048, seq_len=10),
             solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
-                                history_size=10, max_iter=max_iter),
+                                history_size=history, max_iter=max_iter),
             sampling_impl="dense", fold_bn=True, dense_decoder=True,
             decoder_impl="shift", heatmap_crop=crop)
         opt = SequenceOptimizer(build_model(cfg), local_vars,
@@ -106,6 +106,7 @@ def main():
             per_chunk.append({k: float(np.asarray(e[k]))
                               for k in metric_keys})
         rec = {"label": label, "max_iter": max_iter, "heatmap_crop": crop,
+               "history": history,
                "windows_per_sec": round(wins / min(ts), 1)}
         for k in metric_keys:
             rec[k] = round(float(np.mean([e[k] for e in per_chunk])), 5)
@@ -119,8 +120,20 @@ def main():
             < rec["bone_length_aligned_original_mpjpe"])
         results.append(rec)
         print(json.dumps(rec), flush=True)
-        with open(os.path.join(REPO, "quality_iter_crop.json"), "w") as f:
+        suffix = os.environ.get("QIC_ONLY", "")
+        name = f"quality_iter_crop_{suffix}.json" if suffix \
+            else "quality_iter_crop.json"
+        with open(os.path.join(REPO, name), "w") as f:
             json.dump(results, f, indent=1)
+
+    only = os.environ.get("QIC_ONLY", "")
+    if only == "m5":
+        # round-2e follow-up: m=5 quality (4695 w/s at batch 40 vs 3958
+        # at m=10; perf_levers_r2e.json)
+        measure("iter15_crop8_m5", 15, 8, history=5)
+        measure("iter15_crop16_m5", 15, 16, history=5)
+        measure("iter15_crop8_m10", 15, 8, history=10)   # same-prior anchor
+        return
 
     measure("iter25_crop16", 25, 16)   # current default
     measure("iter15_crop16", 15, 16)
