@@ -62,9 +62,11 @@ COMPACT_DIR = os.environ.get("BENCH_COMPACT_DIRECTION", "0") == "1"
 # iteration instead of three O(m*d) roll copies; identical trajectory)
 CIRCULAR_HISTORY = os.environ.get("BENCH_CIRCULAR_HISTORY", "0") == "1"
 # L-BFGS history size (the two-loop recursion and the history rolls scale
-# with it): m=10 gives 1326 vs 1122 windows/s at m=25 with identical e2e
-# quality (tests/test_e2e_quality.py); m=5 saturates at the same 1324
-HISTORY = int(os.environ.get("BENCH_HISTORY", "10"))
+# with it): m=5 wins once launch costs stopped masking it — 4695 vs 3958
+# w/s at batch 40 (perf_levers_r2e.json) — and passes every quality
+# tripwire with trained priors, marginally better than m=10
+# (quality_iter_crop_m5.json: raw-global 0.03815 vs 0.03821)
+HISTORY = int(os.environ.get("BENCH_HISTORY", "5"))
 # solver iterations per stage: 15 beats 25 on BOTH speed and quality with
 # trained full-size priors (quality_iter_crop.json: 2566 vs 1908 w/s,
 # raw-global 0.03807 vs 0.03899, all tripwires pass) — fewer energy

@@ -80,12 +80,15 @@ def main():
     print("=== 3/3 optimizing 5 sequences ===", flush=True)
     # the fastest quality-verified configuration (perf_levers_r1.json,
     # tests/test_e2e_quality.py::test_production_config_quality)
-    # max_iter 15 beats 25 on BOTH speed and quality with trained priors
-    # (quality_iter_crop.json); crop16 is exactly lossless vs full maps
+    # max_iter 15 beats 25 and history 5 beats 10 on BOTH speed and
+    # quality with trained priors (quality_iter_crop.json,
+    # quality_iter_crop_m5.json — iter15/crop16/m5 has the best
+    # raw-global MPJPE of every measured config); crop16 is exactly
+    # lossless vs full maps
     cfg = OptimizeConfig(prior=PriorConfig(latent_dim=2048, seq_len=10),
                          solver=SolverConfig(method="lbfgs_fixed",
                                              fused_probes=True,
-                                             history_size=10,
+                                             history_size=5,
                                              max_iter=15),
                          sampling_impl="dense", heatmap_crop=16,
                          fold_bn=True, dense_decoder=True,
