@@ -26,9 +26,14 @@ def main(argv=None):
                                 parents=[build_parser()],
                                 conflict_handler="resolve",
                                 add_help=False)
+    from globalegomocap_tpu.cli.optimize_sequence import str2bool
     p.add_argument("--data_root", required=True, type=str,
                    help="directory whose subdirectories are sequences")
     p.add_argument("--data_path", required=False, default=None)
+    p.add_argument("--batched", default=True, type=str2bool,
+                   help="solve each sequence's equal-length chunks in one "
+                        "staged flat launch (falls back per-chunk when "
+                        "lengths differ)")
     args = p.parse_args(argv)
 
     from globalegomocap_tpu.config import (
@@ -74,7 +79,7 @@ def main(argv=None):
     for seq in sequences:
         print(f"================ sequence: {seq} ================")
         _, averages, timing = optimize_sequence_dir(
-            opt, os.path.join(args.data_root, seq))
+            opt, os.path.join(args.data_root, seq), batched=args.batched)
         per_seq[seq] = averages
     total = time.perf_counter() - t0
 

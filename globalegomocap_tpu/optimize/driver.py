@@ -271,11 +271,22 @@ def load_priors_from_torch(cfg: OptimizeConfig, local_ckpt: str,
 
 
 def optimize_sequence_dir(opt: SequenceOptimizer, data_dir: str,
-                          verbose: bool = True):
+                          verbose: bool = True, batched: bool = False):
     """Iterate all chunk dirs of a sequence, optimize each, aggregate the
     metric averages (reference: optimize_whole_sequence.py:48-117).
 
+    batched=True solves all equal-length chunks of the sequence in ONE
+    staged flat launch (the production fast path; falls back to the
+    serial per-chunk loop when chunk lengths differ or loading fails).
+
     Returns (per_chunk_errors list, averages dict, timing dict)."""
+    if batched:
+        res = _optimize_sequence_dir_batched(opt, data_dir, verbose)
+        if res is not None:
+            return res
+        if verbose:
+            print("batched path unavailable (unequal chunk lengths); "
+                  "falling back to per-chunk")
     all_errors = []
     timings = []
     failures = []
@@ -310,6 +321,54 @@ def optimize_sequence_dir(opt: SequenceOptimizer, data_dir: str,
               "per_chunk_s": float(np.mean(timings)) if timings else 0.0,
               "failed_chunks": failures}
     if verbose and averages:
+        print_summary(averages)
+        print(f"total optimization time: {timing['total_s']:.2f}s")
+    return all_errors, averages, timing
+
+
+def _optimize_sequence_dir_batched(opt: SequenceOptimizer, data_dir: str,
+                                   verbose: bool = True):
+    """One staged flat launch for a whole sequence directory.  Returns
+    None when the chunks are not equal-length (caller falls back)."""
+    dirs, chunks, failures = [], [], []
+    for chunk_dir in list_chunk_dirs(data_dir):
+        try:
+            chunks.append(load_test_chunk(chunk_dir))
+            dirs.append(chunk_dir)
+        except Exception as e:  # noqa: BLE001 — isolate corrupt chunks
+            failures.append((chunk_dir, repr(e)))
+            if verbose:
+                print(f"SKIPPED corrupt chunk {chunk_dir}: {e!r}")
+    if not chunks:
+        return [], {}, {"total_s": 0.0, "per_chunk_s": 0.0,
+                        "failed_chunks": failures}
+    if len({c.estimated_local.shape[0] for c in chunks}) != 1:
+        return None
+
+    t0 = time.perf_counter()
+    staged = opt.stage(chunks)
+    res = opt.optimize_chunks_batched(staged, mode="flat")
+    jax.block_until_ready(res.optimized)
+    total = time.perf_counter() - t0
+
+    all_errors = []
+    for i, chunk_dir in enumerate(dirs):
+        errors = {k: np.asarray(v) for k, v in calculate_errors(
+            res.estimated[i], res.mid[i], res.optimized[i],
+            res.gt[i]).items()}
+        all_errors.append(errors)
+        if verbose:
+            print(f"running data: {chunk_dir}")
+            if errors["bone_length_aligned_optimized_mpjpe"] > \
+                    errors["bone_length_aligned_mid_optimized_mpjpe"]:
+                print(errors)  # reference's regression tripwire
+
+    averages = {k: np.mean([e[k] for e in all_errors], axis=0)
+                for k in all_errors[0]}
+    timing = {"total_s": float(total),
+              "per_chunk_s": float(total) / len(chunks),
+              "failed_chunks": failures}
+    if verbose:
         print_summary(averages)
         print(f"total optimization time: {timing['total_s']:.2f}s")
     return all_errors, averages, timing

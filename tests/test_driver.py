@@ -139,3 +139,19 @@ def test_staged_precrop_matches_in_program_crop():
         np.testing.assert_allclose(np.asarray(via_list.optimized),
                                    np.asarray(via_staged.optimized),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_sequence_dir_batched_matches_serial(seq_dir, optimizer, capsys):
+    """optimize_sequence_dir(batched=True) — one staged flat launch for
+    the whole directory — must reproduce the serial per-chunk loop's
+    metrics (equal-length chunks here, so no fallback)."""
+    errors_s, avg_s, _ = optimize_sequence_dir(optimizer, seq_dir,
+                                               verbose=False)
+    errors_b, avg_b, timing_b = optimize_sequence_dir(
+        optimizer, seq_dir, verbose=False, batched=True)
+    assert len(errors_b) == len(errors_s) == 3
+    assert timing_b["failed_chunks"] == []
+    for k in avg_s:
+        np.testing.assert_allclose(np.asarray(avg_b[k]),
+                                   np.asarray(avg_s[k]),
+                                   rtol=2e-3, atol=1e-5)
