@@ -44,9 +44,19 @@ def main():
     from globalegomocap_tpu.train.train_vae import Trainer
 
     epochs = int(os.environ.get("QIC_EPOCHS", "768"))
+    # trained-prior cache: quality A/Bs dominate wall-clock with two
+    # ~8-min trainings; QIC_CACHE=dir reuses priors across runs
+    cache = os.environ.get("QIC_CACHE", "/tmp/qic_priors")
     seqs = synthetic_amass(n_sequences=10, frames_per_seq=250, seed=5)
 
     def train(local_pose):
+        name = "local" if local_pose else "global"
+        path = os.path.join(cache, f"{name}_{epochs}.msgpack")
+        shape_ref = ConvVAE(latent_dim=2048, seq_len=10)
+        if os.path.exists(path):
+            from globalegomocap_tpu.models.checkpoint import load_msgpack
+            print(f"{name} prior loaded from cache {path}", flush=True)
+            return jax.tree_util.tree_map(jnp.asarray, load_msgpack(path))
         cfg = TrainConfig(latent_dim=2048, seq_length=10, epochs=epochs,
                           batch_size=64, kl_weight=0.0,
                           learning_rate=1e-3, lr_schedule="cosine",
@@ -54,12 +64,15 @@ def main():
                           log_step=0)
         ds = AmassWindows.from_sequences(seqs, frame_num=10,
                                          local_pose=local_pose)
-        tr = Trainer(cfg, ds, AmassWindows(ds.windows[::17]),
-                     ConvVAE(latent_dim=2048, seq_len=10))
+        tr = Trainer(cfg, ds, AmassWindows(ds.windows[::17]), shape_ref)
         t0 = time.time()
         tr.train(log_fn=lambda *_: None)
-        print(f"{'local' if local_pose else 'global'} prior recon "
+        print(f"{name} prior recon "
               f"{tr.evaluate():.4f} ({time.time()-t0:.0f}s)", flush=True)
+        if cache:
+            os.makedirs(cache, exist_ok=True)
+            from globalegomocap_tpu.models.checkpoint import save_msgpack
+            save_msgpack(tr.variables, path)
         return tr.variables
 
     local_vars = train(True)
@@ -81,11 +94,13 @@ def main():
 
     results = []
 
-    def measure(label, max_iter, crop, history=10):
+    def measure(label, max_iter, crop, history=10,
+                candidates=(1.0, 0.5, 0.1, 0.02)):
         cfg = OptimizeConfig(
             prior=PriorConfig(latent_dim=2048, seq_len=10),
             solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
-                                history_size=history, max_iter=max_iter),
+                                history_size=history, max_iter=max_iter,
+                                step_candidates=tuple(candidates)),
             sampling_impl="dense", fold_bn=True, dense_decoder=True,
             decoder_impl="shift", heatmap_crop=crop)
         opt = SequenceOptimizer(build_model(cfg), local_vars,
@@ -127,6 +142,17 @@ def main():
             json.dump(results, f, indent=1)
 
     only = os.environ.get("QIC_ONLY", "")
+    if only == "k3":
+        # fewer line-search probes: K=3 cuts 25% of eval FLOPs per
+        # iteration but changes trajectories — needs quality evidence
+        measure("iter15_crop8_m5_K4", 15, 8, history=5)
+        measure("iter15_crop8_m5_K3", 15, 8, history=5,
+                candidates=(1.0, 0.5, 0.1))
+        measure("iter15_crop8_m5_K2", 15, 8, history=5,
+                candidates=(1.0, 0.1))
+        measure("iter20_crop8_m5_K2", 20, 8, history=5,
+                candidates=(1.0, 0.1))
+        return
     if only == "m5":
         # round-2e follow-up: m=5 quality (4695 w/s at batch 40 vs 3958
         # at m=10; perf_levers_r2e.json)
