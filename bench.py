@@ -72,6 +72,13 @@ HISTORY = int(os.environ.get("BENCH_HISTORY", "5"))
 # raw-global 0.03807 vs 0.03899, all tripwires pass) — fewer energy
 # iterations keep the solution closer to the anchor
 MAX_ITER = int(os.environ.get("BENCH_MAX_ITER", "15"))
+# parallel line-search candidates (fractions of lr): K=2 beats K=4 on the
+# headline metrics too (quality_iter_crop_k3.json: raw-global 0.03589 vs
+# 0.03815, camera 0.02873 vs 0.03127, aligned within 0.0005, tripwires
+# pass) and is 22% faster (perf_levers_r2f.json: 5715 vs 4699 w/s)
+STEP_CANDIDATES = tuple(
+    float(x) for x in
+    os.environ.get("BENCH_STEP_CANDIDATES", "1.0,0.1").split(","))
 # 'bfloat16' halves HBM traffic of the heatmap sampling path (the
 # dominant eval cost, solver_floor_noreproj.json)
 HEATMAP_DTYPE = os.environ.get("BENCH_HEATMAP_DTYPE", "float32")
@@ -120,7 +127,8 @@ def main():
         solver=SolverConfig(method=SOLVER, fused_probes=FUSED_PROBES,
                             compact_direction=COMPACT_DIR,
                             circular_history=CIRCULAR_HISTORY,
-                            history_size=HISTORY, max_iter=MAX_ITER),
+                            history_size=HISTORY, max_iter=MAX_ITER,
+                            step_candidates=STEP_CANDIDATES),
         sampling_impl=SAMPLING,
         fold_bn=FOLD_BN,
         dense_decoder=DENSE_DECODER,

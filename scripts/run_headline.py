@@ -85,11 +85,14 @@ def main():
     # quality_iter_crop_m5.json — iter15/crop16/m5 has the best
     # raw-global MPJPE of every measured config); crop16 is exactly
     # lossless vs full maps
+    # K=2 step candidates further improve raw-global and camera error
+    # (quality_iter_crop_k3.json: 0.03589 / 0.02873)
     cfg = OptimizeConfig(prior=PriorConfig(latent_dim=2048, seq_len=10),
                          solver=SolverConfig(method="lbfgs_fixed",
                                              fused_probes=True,
                                              history_size=5,
-                                             max_iter=15),
+                                             max_iter=15,
+                                             step_candidates=(1.0, 0.1)),
                          sampling_impl="dense", heatmap_crop=16,
                          fold_bn=True, dense_decoder=True,
                          decoder_impl="shift")
