@@ -74,8 +74,25 @@ def main():
         return trainer.variables
 
     print("=== 2/3 training full-size priors on device ===", flush=True)
-    local_vars = train(True)
-    global_vars = train(False)
+
+    def cached_train(local_pose):
+        # HEADLINE_PRIOR_CACHE=dir reuses priors trained with the same
+        # recipe+corpus (quality_iter_crop.py writes the same files);
+        # default unset — the headline stays a self-contained run
+        cache = os.environ.get("HEADLINE_PRIOR_CACHE", "")
+        if not cache:
+            return train(local_pose)
+        name = "local" if local_pose else "global"
+        epochs = int(os.environ.get("HEADLINE_EPOCHS", "768"))
+        path = os.path.join(cache, f"{name}_{epochs}.msgpack")
+        if os.path.exists(path):
+            from globalegomocap_tpu.models.checkpoint import load_msgpack
+            print(f"  {name} prior loaded from cache {path}", flush=True)
+            return jax.tree_util.tree_map(jnp.asarray, load_msgpack(path))
+        return train(local_pose)
+
+    local_vars = cached_train(True)
+    global_vars = cached_train(False)
 
     print("=== 3/3 optimizing 5 sequences ===", flush=True)
     # the fastest quality-verified configuration (perf_levers_r1.json,
