@@ -69,11 +69,31 @@ class StreamingOptimizer:
         self._in_flight.append(
             self.optimizer.optimize_chunk(chunk, cfg=self._chunk_cfg(chunk)))
 
+    def submit_batch(self, chunks_or_staged, mode: str = "flat") -> None:
+        """Enqueue a whole equal-length chunk batch as ONE device launch
+        (a StagedBatch or a chunk list, which is staged here).  This is
+        the peak-throughput serving shape: back-to-back staged launches
+        pipeline through JAX async dispatch, hiding the per-launch tunnel
+        RTT (measured 7363 vs 5667 windows/s at 4-deep; bench.py).  The
+        drained result for a batch submission is the batched ChunkResult
+        (leading chunk axis)."""
+        from globalegomocap_tpu.optimize.driver import StagedBatch
+        if not isinstance(chunks_or_staged, StagedBatch):
+            chunks_or_staged = self.optimizer.stage(chunks_or_staged)
+        if self._t_first is None:
+            self._t_first = time.perf_counter()
+        while len(self._in_flight) >= self.max_in_flight:
+            self._finish_oldest()
+        self._in_flight.append(self.optimizer.optimize_chunks_batched(
+            chunks_or_staged, mode=mode))
+
     def _finish_oldest(self) -> None:
         result = self._in_flight.popleft()
         jax.block_until_ready(result.optimized)
         self._completed.append(result)
-        self.meter.total_units += 1
+        # a batch submission carries a leading chunk axis -> count chunks
+        self.meter.total_units += (1 if result.estimated.ndim == 3
+                                   else result.estimated.shape[0])
 
     def drain(self) -> list[ChunkResult]:
         """Wait for all in-flight work; return every completed result in

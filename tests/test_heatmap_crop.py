@@ -255,3 +255,45 @@ def test_channels_last_crop_peak_at_border():
     np.testing.assert_array_equal(np.asarray(org[0, 1]), [24.0, 24.0])
     assert float(crops[0, 0, 0, 0]) == 1.0
     assert float(crops[0, 7, 7, 1]) == 1.0
+
+
+def test_staged_guard_fallback_stages_full_maps():
+    """When the mass guard trips, stage() must NOT pre-crop: the staged
+    batch carries the full maps (origins None) and the solve runs the
+    exact full-map path — equal to an explicit crop=0 config."""
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, SolverConfig, PriorConfig, with_overrides)
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.data.test_data import TestChunk
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model)
+
+    cfg = OptimizeConfig(
+        prior=PriorConfig(latent_dim=16, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=2,
+                            history_size=2),
+        heatmap_crop=8)
+    model = build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    opt = SequenceOptimizer(model, v, v, cfg)
+
+    def bimodal(chunk):
+        maps = np.asarray(chunk.heatmaps)
+        return chunk._replace(heatmaps=maps + np.roll(maps, 32, axis=1))
+
+    chunks = [bimodal(synthetic_chunk(n_frames=26, seed=s))
+              for s in (71, 72)]
+    staged = opt.stage(chunks)
+    assert staged.origins is None and staged.full_hw is None
+    assert staged.heat.shape[-3:-1] == (64, 64)   # full maps staged
+    assert staged.crop_coverage is not None \
+        and staged.crop_coverage < cfg.heatmap_crop_min_mass
+
+    res = opt.optimize_chunks_batched(staged, mode="flat")
+    opt0 = SequenceOptimizer(model, v, v,
+                             with_overrides(cfg, heatmap_crop=0))
+    res0 = opt0.optimize_chunks_batched(opt0.stage(chunks), mode="flat")
+    np.testing.assert_allclose(np.asarray(res.optimized),
+                               np.asarray(res0.optimized),
+                               rtol=1e-5, atol=1e-6)

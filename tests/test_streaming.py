@@ -120,3 +120,32 @@ def test_streaming_guard_policy_resolves_once():
     for a, b in zip(first, off):
         np.testing.assert_array_equal(np.asarray(a.optimized),
                                       np.asarray(b.optimized))
+
+
+def test_streaming_submit_batch():
+    """submit_batch pipelines whole staged batches (the peak-throughput
+    serving shape); results equal direct batched solves, the meter counts
+    chunks, and batch/per-chunk submissions interleave safely."""
+    cfg = OptimizeConfig(
+        prior=PriorConfig(latent_dim=16, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=2,
+                            history_size=2))
+    model = build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    opt = SequenceOptimizer(model, v, v, cfg)
+    batch_a = [synthetic_chunk(26, seed=s) for s in (81, 82)]
+    batch_b = [synthetic_chunk(26, seed=s) for s in (83, 84, 85)]
+
+    service = StreamingOptimizer(opt, max_in_flight=2)
+    service.submit_batch(batch_a)                   # list -> staged here
+    service.submit_batch(opt.stage(batch_b))        # pre-staged
+    out = service.drain()
+    assert len(out) == 2
+    assert out[0].optimized.shape == (2, 26, 15, 3)
+    assert out[1].optimized.shape == (3, 26, 15, 3)
+    assert service.meter.total_units == 5
+
+    direct = opt.optimize_chunks_batched(opt.stage(batch_a), mode="flat")
+    np.testing.assert_array_equal(np.asarray(out[0].optimized),
+                                  np.asarray(direct.optimized))
