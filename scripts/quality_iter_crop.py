@@ -142,6 +142,16 @@ def main():
             json.dump(results, f, indent=1)
 
     only = os.environ.get("QIC_ONLY", "")
+    if only == "fine":
+        # sensitivity around the chosen operating point (iter15/m5/K2):
+        # is the sweet spot flat or are we on an edge?
+        measure("iter15_K2_m5", 15, 8, history=5, candidates=(1.0, 0.1))
+        measure("iter12_K2_m5", 12, 8, history=5, candidates=(1.0, 0.1))
+        measure("iter18_K2_m5", 18, 8, history=5, candidates=(1.0, 0.1))
+        measure("iter15_K2_m3", 15, 8, history=3, candidates=(1.0, 0.1))
+        measure("iter15_K2_m5_c16", 15, 16, history=5,
+                candidates=(1.0, 0.1))
+        return
     if only == "k3":
         # fewer line-search probes: K=3 cuts 25% of eval FLOPs per
         # iteration but changes trajectories — needs quality evidence
