@@ -133,37 +133,65 @@ class SequenceOptimizer:
             heat,
             jnp.asarray(chunk.gt_global))
 
-    def stage(self, chunks: list[TestChunk]) -> StagedBatch:
+    def stage(self, chunks: list[TestChunk],
+              coverage: float | None = None) -> StagedBatch:
         """Pre-stage a batch of equal-length chunks for repeated hot
         solves: stack the four inputs into device arrays, pad the chunk
         axis to the device count (sharding never silently degrades;
         parallel.mesh.pad_to_multiple), and resolve the crop-guard
         coverage to a host scalar.  One-time cost per dataset; see
-        StagedBatch."""
-        from globalegomocap_tpu.parallel.mesh import pad_to_multiple
-        est = jnp.stack([jnp.asarray(c.estimated_local) for c in chunks])
-        cams = jnp.stack([jnp.asarray(c.camera_poses) for c in chunks])
-        heat = jnp.stack([jnp.asarray(c.heatmaps) for c in chunks])
-        gt = jnp.stack([jnp.asarray(c.gt_global) for c in chunks])
-        cov = self._crop_coverage(heat)
+        StagedBatch.
 
-        # Pre-crop at staging: crop extraction only reads the raw maps
-        # (solver-independent data prep), so doing it here shrinks the
-        # solve program's heatmap input 16x (k=16 on 64x64 maps) and
-        # removes the full-map read from every launch.  Skipped when the
-        # mass guard fell back to full maps.
-        origins, full_hw = None, None
+        coverage: inject a known crop-guard coverage instead of measuring
+        it on device.  The measurement's blocking readback executes
+        BEHIND everything already queued on the device (programs run in
+        dispatch order), so in a serving pipeline it head-of-line-blocks
+        on earlier batches' solves — streams measure once and reuse
+        (StreamingOptimizer guard='first').
+
+        The staging compute itself is ONE fused program: each chunk's
+        maps are cropped BEFORE stacking, so the full-size stacked maps
+        (~1 GB at 40 chunks) are never materialized and the whole step
+        is a single dispatch (serving_bench.json measured the unfused
+        five-dispatch version as the sustained-throughput bottleneck)."""
+        from globalegomocap_tpu.parallel.mesh import pad_to_multiple
+        heat_l = [jnp.asarray(c.heatmaps) for c in chunks]
+
+        if coverage is None:
+            cov = self._crop_coverage_list(heat_l)
+        else:
+            cov = coverage
         eff = self._cfg_for_coverage(cov)
-        if eff.heatmap_crop > 0 and eff.energy.reproj != 0.0:
+        k = eff.heatmap_crop if eff.energy.reproj != 0.0 else 0
+
+        key = ("stage_prog", len(chunks), heat_l[0].shape, k)
+        if key not in self._jit_cache:
             from globalegomocap_tpu.energy.terms import (
                 crop_heatmaps_channels_last)
-            key = ("precrop", eff.heatmap_crop)
-            if key not in self._jit_cache:
-                k = eff.heatmap_crop
-                self._jit_cache[key] = jax.jit(
-                    lambda h: crop_heatmaps_channels_last(h, k)[:2])
-            full_hw = (heat.shape[-3], heat.shape[-2])
-            heat, origins = self._jit_cache[key](heat)
+
+            def prog(est_l, cams_l, heat_l, gt_l):
+                est = jnp.stack(est_l)
+                cams = jnp.stack(cams_l)
+                gt = jnp.stack(gt_l)
+                if k > 0:
+                    cr = [crop_heatmaps_channels_last(h, k)[:2]
+                          for h in heat_l]
+                    heat = jnp.stack([c for c, _ in cr])
+                    org = jnp.stack([o for _, o in cr])
+                else:
+                    heat = jnp.stack(heat_l)
+                    org = None
+                return est, cams, heat, gt, org
+
+            self._jit_cache[key] = jax.jit(prog)
+
+        est, cams, heat, gt, origins = self._jit_cache[key](
+            [jnp.asarray(c.estimated_local) for c in chunks],
+            [jnp.asarray(c.camera_poses) for c in chunks],
+            heat_l,
+            [jnp.asarray(c.gt_global) for c in chunks])
+        full_hw = (heat_l[0].shape[-3], heat_l[0].shape[-2]) if k > 0 \
+            else None
 
         n_chunks = est.shape[0]
         n_dev = len(jax.devices())
@@ -176,6 +204,22 @@ class SequenceOptimizer:
                 origins, _ = pad_to_multiple(origins, n_dev)
         return StagedBatch(est, cams, heat, gt, n_chunks, cov,
                            origins, full_hw)
+
+    def _crop_coverage_list(self, heat_l) -> float | None:
+        """Crop-guard coverage over per-chunk map arrays WITHOUT stacking
+        them (equal chunk sizes -> mean of per-chunk means is exact)."""
+        cfg = self.cfg
+        if cfg.heatmap_crop <= 0 or cfg.heatmap_crop_min_mass <= 0 \
+                or cfg.energy.reproj == 0.0:
+            return None
+        from globalegomocap_tpu.energy.terms import crop_coverage_mean
+        key = ("crop_guard_list", cfg.heatmap_crop, len(heat_l))
+        if key not in self._jit_cache:
+            kk = cfg.heatmap_crop
+            self._jit_cache[key] = jax.jit(lambda hs: sum(
+                crop_coverage_mean(jnp.moveaxis(h, -1, -3), kk)
+                for h in hs) / len(hs))
+        return float(self._jit_cache[key](heat_l))
 
     def optimize_chunks_batched(self,
                                 chunks: "list[TestChunk] | StagedBatch",

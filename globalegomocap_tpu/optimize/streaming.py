@@ -46,6 +46,7 @@ class StreamingOptimizer:
         self.max_in_flight = max_in_flight
         self.guard = guard
         self._guard_cfg = optimizer.cfg if guard == "off" else None
+        self._batch_coverage: float | None = None
         self._in_flight: collections.deque = collections.deque()
         self._completed: list[ChunkResult] = []
         self.meter = ThroughputMeter(unit="chunks")
@@ -75,11 +76,24 @@ class StreamingOptimizer:
         the peak-throughput serving shape: back-to-back staged launches
         pipeline through JAX async dispatch, hiding the per-launch tunnel
         RTT (measured 7363 vs 5667 windows/s at 4-deep; bench.py).  The
-        drained result for a batch submission is the batched ChunkResult
-        (leading chunk axis)."""
+        guard policy applies to staging: 'first' measures the crop-guard
+        coverage on the first batch only — the measurement's blocking
+        readback otherwise head-of-line-blocks on every solve already in
+        the device queue (serving_bench.json).  The drained result for a
+        batch submission is the batched ChunkResult (leading chunk
+        axis)."""
         from globalegomocap_tpu.optimize.driver import StagedBatch
         if not isinstance(chunks_or_staged, StagedBatch):
-            chunks_or_staged = self.optimizer.stage(chunks_or_staged)
+            if self.guard == "off":
+                cov = 1.0
+            elif self.guard == "first" and self._batch_coverage is not None:
+                cov = self._batch_coverage
+            else:
+                cov = None   # measure on device (blocks)
+            chunks_or_staged = self.optimizer.stage(chunks_or_staged,
+                                                    coverage=cov)
+            if self._batch_coverage is None:
+                self._batch_coverage = chunks_or_staged.crop_coverage
         if self._t_first is None:
             self._t_first = time.perf_counter()
         while len(self._in_flight) >= self.max_in_flight:
