@@ -1,0 +1,175 @@
+"""Serving CLI: continuously optimize sequence directories as they arrive.
+
+A long-lived production driver the reference has no equivalent of (its
+workflow is one `optimize_whole_sequence.py` run per pre-existing
+sequence): this watches `--data_root`, and every NEW sequence directory
+(containing `data_start_X_end_Y` chunk dirs) is staged and solved as one
+flat batched launch through the streaming pipeline — staging of batch
+t+1 overlaps the solve of batch t (serving_bench.json: 5661 sustained
+windows/s at depth 3 on one v5e).
+
+Emits one JSON line per completed sequence:
+  {"sequence": ..., "chunks": N, "windows": W, "latency_ms": ...,
+   "windows_per_sec": ..., "optimized_global_mpjpe": ...}
+
+    python -m globalegomocap_tpu.cli.serve --data_root incoming \
+        --local_ckpt local.msgpack --global_ckpt global.msgpack \
+        [--watch_interval 2.0] [--max_batches 0] [--out_dir results]
+
+watch_interval 0 processes what is present and exits (one-shot mode);
+max_batches > 0 exits after that many sequences (0 = run forever).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    from globalegomocap_tpu.cli.optimize_sequence import (
+        build_parser, load_variables, str2bool)
+    p = argparse.ArgumentParser(description=__doc__,
+                                parents=[build_parser()],
+                                conflict_handler="resolve",
+                                add_help=False)
+    p.add_argument("--data_root", required=True, type=str,
+                   help="directory whose subdirectories are sequences")
+    p.add_argument("--data_path", required=False, default=None)
+    p.add_argument("--watch_interval", default=0.0, type=float,
+                   help="seconds between directory scans; 0 = one-shot")
+    p.add_argument("--max_batches", default=0, type=int,
+                   help="stop after N sequences (0 = no limit)")
+    p.add_argument("--max_in_flight", default=3, type=int)
+    p.add_argument("--with_metrics", default=True, type=str2bool)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, EnergyConfig, PriorConfig, SolverConfig)
+    from globalegomocap_tpu.data.test_data import (
+        list_chunk_dirs, load_test_chunk)
+    from globalegomocap_tpu.evaluation.metrics import calculate_errors
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model)
+    from globalegomocap_tpu.optimize.streaming import StreamingOptimizer
+    from globalegomocap_tpu.optimize.window import num_windows
+
+    cfg = OptimizeConfig(
+        energy=EnergyConfig(vae=args.vae, gmm=args.gmm, smooth=args.smooth,
+                            bone_length=args.bone_length,
+                            weight_3d=args.weight_3d,
+                            reproj=args.reproj_weight),
+        prior=PriorConfig(latent_dim=args.latent_dim, seq_len=args.seq_len,
+                          hidden_dims=tuple(
+                              int(x) for x in args.hidden_dims.split(","))),
+        solver=SolverConfig(method=args.solver,
+                            fused_probes=args.fused_probes),
+        sampling_impl=args.sampling, heatmap_dtype=args.heatmap_dtype,
+        heatmap_crop=args.heatmap_crop, fold_bn=args.fold_bn,
+        dense_decoder=args.dense_decoder, decoder_impl=args.decoder_impl,
+        decoder_dtype=args.decoder_dtype,
+        heatmap_crop_min_mass=args.heatmap_crop_min_mass,
+        camera=args.camera, final_smooth=args.final_smooth,
+        final_smooth_method=args.final_smooth_method, merge=args.merge)
+    model = build_model(cfg)
+    hd = tuple(cfg.prior.hidden_dims)
+    opt = SequenceOptimizer(
+        model,
+        load_variables(args.local_ckpt, args.seq_len, hd),
+        load_variables(args.global_ckpt, args.seq_len, hd),
+        cfg)
+    service = StreamingOptimizer(opt, max_in_flight=args.max_in_flight)
+
+    done: set[str] = set()
+    pending: list[tuple[str, list, float]] = []  # (name, chunks, t_submit)
+    emitted = 0
+
+    def emit(name, chunks, t_submit, res):
+        nonlocal emitted
+        jax.block_until_ready(res.optimized)
+        latency = time.perf_counter() - t_submit
+        wins = sum(num_windows(c.n_frames) for c in chunks)
+        rec = {"sequence": name, "chunks": len(chunks), "windows": wins,
+               "latency_ms": round(1e3 * latency, 1),
+               "windows_per_sec": round(wins / latency, 1)}
+        if args.with_metrics:
+            errs = [calculate_errors(res.estimated[i], res.mid[i],
+                                     res.optimized[i], res.gt[i])
+                    for i in range(len(chunks))]
+            for key in ("optimized_global_mpjpe", "original_global_mpjpe"):
+                rec[key] = round(float(np.mean(
+                    [np.asarray(e[key]) for e in errs])), 5)
+        if args.save_pose:
+            out = os.path.join(args.out_dir, name)
+            os.makedirs(out, exist_ok=True)
+            np.save(os.path.join(out, "optimized.npy"),
+                    np.asarray(res.optimized))
+        print(json.dumps(rec), flush=True)
+        emitted += 1
+
+    while True:
+        seqs = sorted(d for d in os.listdir(args.data_root)
+                      if os.path.isdir(os.path.join(args.data_root, d))
+                      and d not in done)
+        for name in seqs:
+            if args.max_batches and emitted + len(pending) >= \
+                    args.max_batches:
+                break
+            chunk_dirs = list_chunk_dirs(
+                os.path.join(args.data_root, name))
+            if not chunk_dirs:
+                continue
+            try:
+                chunks = [load_test_chunk(d) for d in chunk_dirs]
+            except Exception as e:  # noqa: BLE001 — skip partial arrivals
+                print(json.dumps({"sequence": name,
+                                  "error": repr(e)}), flush=True)
+                done.add(name)
+                continue
+            if len({c.n_frames for c in chunks}) != 1:
+                # unequal chunk lengths: serial per-chunk fallback
+                from globalegomocap_tpu.optimize.driver import (
+                    optimize_sequence_dir)
+                t0 = time.perf_counter()
+                _, avg, timing = optimize_sequence_dir(
+                    opt, os.path.join(args.data_root, name),
+                    verbose=False)
+                rec = {"sequence": name, "chunks": len(chunks),
+                       "latency_ms": round(
+                           1e3 * (time.perf_counter() - t0), 1),
+                       "optimized_global_mpjpe": round(float(
+                           avg["optimized_global_mpjpe"]), 5)}
+                print(json.dumps(rec), flush=True)
+                emitted += 1
+                done.add(name)
+                continue
+            done.add(name)
+            t0 = time.perf_counter()
+            service.submit_batch(chunks)
+            pending.append((name, chunks, t0))
+            # results complete in submission order; drain ready ones
+            while len(service._completed) > 0:
+                n, cs, ts = pending.pop(0)
+                emit(n, cs, ts, service._completed.pop(0))
+
+        if args.max_batches and emitted + len(pending) >= args.max_batches:
+            break
+        if args.watch_interval <= 0:
+            break
+        if not seqs:
+            time.sleep(args.watch_interval)
+
+    for res in service.drain():
+        n, cs, ts = pending.pop(0)
+        emit(n, cs, ts, res)
+    return emitted
+
+
+if __name__ == "__main__":
+    main()
