@@ -123,7 +123,14 @@ def main():
     from globalegomocap_tpu.optimize.window import num_windows
 
     cfg = OptimizeConfig(
-        prior=PriorConfig(latent_dim=2048, seq_len=10),
+        # BENCH_LATENT exists for the CPU smoke test only; the metric is
+        # defined at the full size
+        prior=PriorConfig(latent_dim=int(os.environ.get("BENCH_LATENT",
+                                                        "2048")),
+                          seq_len=10,
+                          hidden_dims=tuple(int(x) for x in os.environ.get(
+                              "BENCH_HIDDEN",
+                              "64,64,128,256,512").split(","))),
         solver=SolverConfig(method=SOLVER, fused_probes=FUSED_PROBES,
                             compact_direction=COMPACT_DIR,
                             circular_history=CIRCULAR_HISTORY,
