@@ -155,6 +155,14 @@ class SequenceOptimizer:
         is a single dispatch (serving_bench.json measured the unfused
         five-dispatch version as the sustained-throughput bottleneck)."""
         from globalegomocap_tpu.parallel.mesh import pad_to_multiple
+        if not chunks:
+            raise ValueError("stage() needs at least one chunk")
+        if len({c.estimated_local.shape[0] for c in chunks}) != 1:
+            raise ValueError(
+                "stage() requires equal-length chunks (got frame counts "
+                f"{sorted({c.estimated_local.shape[0] for c in chunks})}); "
+                "use optimize_chunk per chunk or optimize_sequence_dir's "
+                "serial fallback for mixed lengths")
         heat_l = [jnp.asarray(c.heatmaps) for c in chunks]
 
         if coverage is None:

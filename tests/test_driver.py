@@ -155,3 +155,14 @@ def test_sequence_dir_batched_matches_serial(seq_dir, optimizer, capsys):
         np.testing.assert_allclose(np.asarray(avg_b[k]),
                                    np.asarray(avg_s[k]),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_stage_input_validation(optimizer):
+    """stage() rejects empty and mixed-length chunk lists with clear
+    errors instead of cryptic stack failures."""
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    with pytest.raises(ValueError, match="at least one"):
+        optimizer.stage([])
+    mixed = [synthetic_chunk(26, seed=1), synthetic_chunk(34, seed=2)]
+    with pytest.raises(ValueError, match="equal-length"):
+        optimizer.stage(mixed)
