@@ -191,6 +191,15 @@ class TrainConfig:
     log_step: int = 100
     seed: int = 0
     num_devices: int = 0            # 0 = all available (data parallel)
+    # run each epoch as ONE device launch (lax.scan over the shuffled
+    # full batches) instead of one dispatch per step — identical math
+    # and batch order (tests/test_train.py asserts parity with the
+    # eager loop); metrics/log_step granularity becomes per-epoch
+    epoch_scan: bool = False
+    # evaluate every N epochs (always on the last); per-epoch evaluation
+    # is a host sync + a full test pass — the dominant cost of short
+    # epochs on small corpora
+    eval_every: int = 1
 
 
 def with_overrides(cfg, **kwargs):

@@ -112,6 +112,23 @@ def make_eval_step(model: ConvVAE):
     return step
 
 
+def make_epoch_step(model: ConvVAE, tx, kld_weight: float):
+    """A whole epoch as ONE program: lax.scan of the train step over the
+    stacked (S, B, T, 45) shuffled batches.  Same math and rng semantics
+    as the eager loop (the loop passes one constant rng to every step),
+    so trajectories coincide; per-step metrics are summed on device."""
+    step = make_train_step(model, tx, kld_weight)
+
+    def epoch(state: TrainState, batches: jnp.ndarray, rng):
+        def body(st, batch):
+            st, metrics = step(st, batch, rng)
+            return st, metrics
+        state, ms = jax.lax.scan(body, state, batches)
+        return state, jax.tree_util.tree_map(jnp.sum, ms)
+
+    return epoch
+
+
 class Trainer:
     """End-to-end trainer over window datasets.
 
@@ -156,6 +173,16 @@ class Trainer:
         self._eval_step = jax.jit(
             make_eval_step(self.model),
             in_shardings=(self._repl, self._batch_sh, self._batch_sh))
+        if cfg.epoch_scan:
+            from jax.sharding import NamedSharding, PartitionSpec
+            # (S, B, ...) scan input: batch axis 1 carries the dp sharding
+            self._scan_sh = NamedSharding(self.mesh,
+                                          PartitionSpec(None, "dp"))
+            self._epoch_step = jax.jit(
+                make_epoch_step(self.model, self.tx, kld_weight),
+                in_shardings=(self._repl, self._scan_sh, None),
+                out_shardings=(self._repl, self._repl),
+                donate_argnums=(0,))
 
         self.history: list[dict] = []
 
@@ -182,34 +209,59 @@ class Trainer:
         for epoch in range(cfg.epochs):
             t0 = time.perf_counter()
             epoch_steps = 0
-            for batch in self.train_ds.epoch_batches(np_rng,
-                                                     cfg.batch_size):
-                epoch_steps += 1
-                self.state, metrics = self._train_step(
-                    self.state, self._device_batch(batch), rng)
-                running["loss"] = running["loss"] + metrics["loss"]
-                running["recon_loss"] = (running["recon_loss"]
-                                         + metrics["recon_loss"])
-                count += 1
-                if cfg.log_step and count % cfg.log_step == 0:
-                    vals = {k: float(v) for k, v in running.items()}
-                    log_fn(f"step {count}: running loss "
-                           f"{vals['loss']:.5f} recon "
-                           f"{vals['recon_loss']:.5f}")
-                    self.history.append({"step": count, **vals})
-                    running = {"loss": zero, "recon_loss": zero}
+            if cfg.epoch_scan:
+                batches = list(self.train_ds.epoch_batches(
+                    np_rng, cfg.batch_size))
+                if batches:
+                    arr = jax.device_put(
+                        jnp.asarray(np.stack(batches)), self._scan_sh)
+                    self.state, msums = self._epoch_step(self.state, arr,
+                                                         rng)
+                    running["loss"] = running["loss"] + msums["loss"]
+                    running["recon_loss"] = (running["recon_loss"]
+                                             + msums["recon_loss"])
+                    epoch_steps = len(batches)
+                    count += epoch_steps
+                    if cfg.log_step and count % cfg.log_step < epoch_steps:
+                        vals = {k: float(v) for k, v in running.items()}
+                        log_fn(f"step {count}: running loss "
+                               f"{vals['loss']:.5f} recon "
+                               f"{vals['recon_loss']:.5f}")
+                        self.history.append({"step": count, **vals})
+                        running = {"loss": zero, "recon_loss": zero}
+            else:
+                for batch in self.train_ds.epoch_batches(np_rng,
+                                                         cfg.batch_size):
+                    epoch_steps += 1
+                    self.state, metrics = self._train_step(
+                        self.state, self._device_batch(batch), rng)
+                    running["loss"] = running["loss"] + metrics["loss"]
+                    running["recon_loss"] = (running["recon_loss"]
+                                             + metrics["recon_loss"])
+                    count += 1
+                    if cfg.log_step and count % cfg.log_step == 0:
+                        vals = {k: float(v) for k, v in running.items()}
+                        log_fn(f"step {count}: running loss "
+                               f"{vals['loss']:.5f} recon "
+                               f"{vals['recon_loss']:.5f}")
+                        self.history.append({"step": count, **vals})
+                        running = {"loss": zero, "recon_loss": zero}
             if epoch_steps == 0:
                 log_fn(f"WARNING: epoch {epoch} ran 0 steps — batch_size "
                        f"({cfg.batch_size}) exceeds the dataset "
                        f"({len(self.train_ds)} windows) with drop_last")
-            eval_mpjpe = self.evaluate()
             dt = time.perf_counter() - t0
-            log_fn(f"epoch {epoch}: eval reconstruction MPJPE "
-                   f"{eval_mpjpe:.5f}  ({dt:.1f}s)")
-            self.history.append({"epoch": epoch, "eval_mpjpe": eval_mpjpe})
-            if checkpoint_dir:
-                self.save_checkpoint(checkpoint_dir, epoch, eval_mpjpe,
-                                     fmt=checkpoint_format)
+            if max(1, cfg.eval_every) == 1 \
+                    or (epoch + 1) % max(1, cfg.eval_every) == 0 \
+                    or epoch == cfg.epochs - 1:
+                eval_mpjpe = self.evaluate()
+                log_fn(f"epoch {epoch}: eval reconstruction MPJPE "
+                       f"{eval_mpjpe:.5f}  ({dt:.1f}s)")
+                self.history.append({"epoch": epoch,
+                                     "eval_mpjpe": eval_mpjpe})
+                if checkpoint_dir:
+                    self.save_checkpoint(checkpoint_dir, epoch, eval_mpjpe,
+                                         fmt=checkpoint_format)
         return self.state
 
     def evaluate(self) -> float:

@@ -34,13 +34,16 @@ def main():
 
     epochs = int(os.environ.get("TRAIN_BENCH_EPOCHS", "64"))
     warmup = int(os.environ.get("TRAIN_BENCH_WARMUP", "8"))
+    epoch_scan = os.environ.get("TRAIN_BENCH_EPOCH_SCAN", "0") == "1"
+    eval_every = int(os.environ.get("TRAIN_BENCH_EVAL_EVERY", "1"))
 
     seqs = synthetic_amass(n_sequences=10, frames_per_seq=250, seed=5)
     ds = AmassWindows.from_sequences(seqs, frame_num=10, local_pose=True)
     cfg = TrainConfig(latent_dim=2048, seq_length=10, epochs=warmup,
                       batch_size=64, kl_weight=0.0, learning_rate=1e-3,
                       lr_schedule="cosine", lr_final=3e-5,
-                      logvar_init_bias=-6.0, log_step=0)
+                      logvar_init_bias=-6.0, log_step=0,
+                      epoch_scan=epoch_scan, eval_every=eval_every)
     tr = Trainer(cfg, ds, AmassWindows(ds.windows[::17]),
                  ConvVAE(latent_dim=2048, seq_len=10))
 
@@ -63,9 +66,12 @@ def main():
         "windows_per_s": round(epochs * n_windows / dt, 1),
         "batch_size": cfg.batch_size,
         "latent_dim": 2048,
+        "epoch_scan": epoch_scan,
+        "eval_every": eval_every,
     }
     print(json.dumps(out, indent=1), flush=True)
-    with open(os.path.join(REPO, "train_bench.json"), "w") as f:
+    name = "train_bench_scan.json" if epoch_scan else "train_bench.json"
+    with open(os.path.join(REPO, name), "w") as f:
         json.dump(out, f, indent=1)
 
 

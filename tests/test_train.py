@@ -148,3 +148,61 @@ class TestTrainer:
             0.0, cfg.learning_rate, 3, total, cfg.lr_final)
         assert abs(float(lr_fn(total)) - cfg.lr_final) < 1e-8
         assert float(lr_fn(3)) == pytest.approx(cfg.learning_rate)
+
+
+def test_epoch_scan_matches_eager_loop(amass_data):
+    """cfg.epoch_scan runs each epoch as one lax.scan launch.  The
+    computation is semantically identical to the eager per-step loop
+    (same shuffles from the same np seed, same per-step rng): after one
+    step the BN batch_stats — a pure function of the forward pass — must
+    be EXACTLY equal, and params may differ only by Adam's first-step
+    bound (the normalized update turns compilation-level fp noise on
+    near-zero gradients into +-lr flips; |update| <= ~lr per component).
+    Over several epochs both must train to equivalent quality, and
+    eval_every must skip intermediate evals while keeping the final."""
+    from globalegomocap_tpu.config import with_overrides
+
+    def make(cfg):
+        model = ConvVAE(latent_dim=32, seq_len=10,
+                        hidden_dims=(16, 16, 32, 32, 64))
+        train_ds = AmassWindows.from_sequences(amass_data, frame_num=10,
+                                               local_pose=True)
+        test_ds = AmassWindows(train_ds.windows[:64])
+        return Trainer(cfg, train_ds, test_ds, model)
+
+    lr = 2e-3
+    n = len(AmassWindows.from_sequences(amass_data, frame_num=10,
+                                        local_pose=True))
+    one_batch = n - n % 8  # one full step; batch axis divides the mesh
+    one = TrainConfig(latent_dim=32, seq_length=10, epochs=1,
+                      batch_size=one_batch,
+                      kl_weight=0.5, log_step=0, learning_rate=lr)
+    e1 = make(one)
+    e1.train(log_fn=lambda *_: None)
+    s1 = make(with_overrides(one, epoch_scan=True))
+    s1.train(log_fn=lambda *_: None)
+    assert int(e1.state.step) == int(s1.state.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(e1.state.batch_stats),
+                    jax.tree_util.tree_leaves(s1.state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(e1.state.params),
+                    jax.tree_util.tree_leaves(s1.state.params)):
+        assert float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) \
+            <= 2.5 * lr
+
+    cfg = TrainConfig(latent_dim=32, seq_length=10, epochs=4,
+                      batch_size=32, kl_weight=0.5, log_step=0,
+                      learning_rate=lr)
+    eager = make(cfg)
+    before = eager.evaluate()
+    eager.train(log_fn=lambda *_: None)
+
+    logs = []
+    scan = make(with_overrides(cfg, epoch_scan=True, eval_every=4))
+    scan.train(log_fn=logs.append)
+
+    ee, se = eager.evaluate(), scan.evaluate()
+    assert np.isfinite(se) and se < before
+    assert abs(ee - se) / ee < 0.3, (ee, se)
+    # eval_every=4 over 4 epochs -> exactly one eval log line
+    assert sum("eval reconstruction" in str(x) for x in logs) == 1
