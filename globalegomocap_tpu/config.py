@@ -196,6 +196,10 @@ class TrainConfig:
     # and batch order (tests/test_train.py asserts parity with the
     # eager loop); metrics/log_step granularity becomes per-epoch
     epoch_scan: bool = False
+    # epoch_scan host-memory bound: scan in blocks of at most this many
+    # steps (a streaming HDF5 corpus must not materialize a whole epoch);
+    # trailing sub-block steps run eagerly so only one scan shape compiles
+    scan_block: int = 256
     # evaluate every N epochs (always on the last); per-epoch evaluation
     # is a host sync + a full test pass — the dominant cost of short
     # epochs on small corpora

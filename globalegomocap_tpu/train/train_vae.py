@@ -210,25 +210,53 @@ class Trainer:
             t0 = time.perf_counter()
             epoch_steps = 0
             if cfg.epoch_scan:
-                batches = list(self.train_ds.epoch_batches(
-                    np_rng, cfg.batch_size))
-                if batches:
+                # consume the batch stream in blocks of <= scan_block
+                # steps (bounded host memory for streaming corpora);
+                # full blocks run as one scan launch, trailing steps
+                # (fewer than a block) run eagerly so only one scan
+                # shape ever compiles
+                block = max(1, cfg.scan_block)
+                pending: list = []
+
+                def flush_scan():
+                    nonlocal epoch_steps, count
                     arr = jax.device_put(
-                        jnp.asarray(np.stack(batches)), self._scan_sh)
+                        jnp.asarray(np.stack(pending)), self._scan_sh)
                     self.state, msums = self._epoch_step(self.state, arr,
                                                          rng)
                     running["loss"] = running["loss"] + msums["loss"]
                     running["recon_loss"] = (running["recon_loss"]
                                              + msums["recon_loss"])
-                    epoch_steps = len(batches)
-                    count += epoch_steps
-                    if cfg.log_step and count % cfg.log_step < epoch_steps:
-                        vals = {k: float(v) for k, v in running.items()}
-                        log_fn(f"step {count}: running loss "
-                               f"{vals['loss']:.5f} recon "
-                               f"{vals['recon_loss']:.5f}")
-                        self.history.append({"step": count, **vals})
-                        running = {"loss": zero, "recon_loss": zero}
+                    epoch_steps += len(pending)
+                    count += len(pending)
+                    pending.clear()
+
+                for batch in self.train_ds.epoch_batches(np_rng,
+                                                         cfg.batch_size):
+                    pending.append(batch)
+                    if len(pending) == block:
+                        flush_scan()
+                if len(pending) >= 2:
+                    # the trailing block scans too — its length repeats
+                    # every epoch (fixed dataset, drop_last), so this
+                    # adds at most one extra compiled shape
+                    flush_scan()
+                for batch in pending:  # a single leftover step: eager
+                    self.state, metrics = self._train_step(
+                        self.state, self._device_batch(batch), rng)
+                    running["loss"] = running["loss"] + metrics["loss"]
+                    running["recon_loss"] = (running["recon_loss"]
+                                             + metrics["recon_loss"])
+                    epoch_steps += 1
+                    count += 1
+                if cfg.log_step and epoch_steps \
+                        and count % cfg.log_step < epoch_steps:
+                    vals = {k: float(v) for k, v in running.items()}
+                    log_fn(f"step {count}: running loss "
+                           f"{vals['loss']:.5f} recon "
+                           f"{vals['recon_loss']:.5f}")
+                    self.history.append({"step": count, **vals})
+                    running = {"loss": zero, "recon_loss": zero}
             else:
                 for batch in self.train_ds.epoch_batches(np_rng,
                                                          cfg.batch_size):

@@ -206,3 +206,30 @@ def test_epoch_scan_matches_eager_loop(amass_data):
     assert abs(ee - se) / ee < 0.3, (ee, se)
     # eval_every=4 over 4 epochs -> exactly one eval log line
     assert sum("eval reconstruction" in str(x) for x in logs) == 1
+
+
+def test_epoch_scan_block_bounds_memory(amass_data):
+    """scan_block smaller than the epoch: the epoch runs as several scan
+    launches + a scanned trailing block (bounded host memory for
+    streaming corpora) with the same step count and equivalent result."""
+    from globalegomocap_tpu.config import with_overrides
+
+    def make(cfg):
+        model = ConvVAE(latent_dim=32, seq_len=10,
+                        hidden_dims=(16, 16, 32, 32, 64))
+        train_ds = AmassWindows.from_sequences(amass_data, frame_num=10,
+                                               local_pose=True)
+        test_ds = AmassWindows(train_ds.windows[:64])
+        return Trainer(cfg, train_ds, test_ds, model)
+
+    cfg = TrainConfig(latent_dim=32, seq_length=10, epochs=2,
+                      batch_size=32, kl_weight=0.5, log_step=0,
+                      learning_rate=2e-3)
+    big = make(with_overrides(cfg, epoch_scan=True))
+    big.train(log_fn=lambda *_: None)
+    small = make(with_overrides(cfg, epoch_scan=True, scan_block=2))
+    small.train(log_fn=lambda *_: None)
+    assert int(big.state.step) == int(small.state.step) > 0
+    be, se = big.evaluate(), small.evaluate()
+    assert np.isfinite(se)
+    assert abs(be - se) / be < 0.3, (be, se)
