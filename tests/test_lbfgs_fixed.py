@@ -261,3 +261,27 @@ def test_pallas_direction_solver_trajectory():
     np.testing.assert_allclose(float(r1.f), float(r0.f),
                                rtol=1e-2, atol=1e-6)
     assert float(r1.f) <= float(r0.f) * 1.01 + 1e-6
+
+
+def test_pallas_direction_batched_pad_path():
+    """The lane-blocked batched kernel pads B up to the block multiple;
+    results for B=13 (pad 3 at LANE_BLOCK=8) must match per-lane XLA."""
+    from globalegomocap_tpu.optimize.lbfgs import _two_loop_direction
+    from globalegomocap_tpu.ops.pallas.lbfgs_direction import (
+        lbfgs_direction_pallas_batched)
+    rng = np.random.default_rng(5)
+    b, m, dim = 13, 6, 32
+    s = rng.normal(size=(b, m, dim)).astype(np.float32) * 0.1
+    y = (s + rng.normal(size=(b, m, dim)).astype(np.float32) * 0.03)
+    rho = (1.0 / np.sum(s * y, -1)).astype(np.float32)
+    valid = np.ones((b, m), bool)
+    g = rng.normal(size=(b, dim)).astype(np.float32)
+    ref = jax.vmap(_two_loop_direction)(
+        jnp.asarray(g), jnp.asarray(s), jnp.asarray(y), jnp.asarray(rho),
+        jnp.asarray(valid))
+    pal = lbfgs_direction_pallas_batched(
+        jnp.asarray(g), jnp.asarray(s), jnp.asarray(y), jnp.asarray(rho),
+        jnp.asarray(valid))
+    assert pal.shape == (b, dim)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
