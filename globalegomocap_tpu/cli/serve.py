@@ -46,6 +46,10 @@ def main(argv=None):
                    help="stop after N sequences (0 = no limit)")
     p.add_argument("--max_in_flight", default=3, type=int)
     p.add_argument("--with_metrics", default=True, type=str2bool)
+    p.add_argument("--max_load_retries", default=5, type=int,
+                   help="watch mode: scans to retry a sequence whose chunk "
+                        "load raises (mid-upload arrivals) before giving "
+                        "up with an error record")
     args = p.parse_args(argv)
 
     import jax
@@ -113,7 +117,19 @@ def main(argv=None):
         print(json.dumps(rec), flush=True)
         emitted += 1
 
+    watch = args.watch_interval > 0
+    fail_counts: dict[str, int] = {}
+
+    def drain_pending():
+        """Block on all in-flight work and emit it (watch-mode idle path:
+        finished sequences must not sit unreported until the NEXT arrival
+        pushes them out — ADVICE r2)."""
+        for res in service.drain():
+            n, cs, ts = pending.pop(0)
+            emit(n, cs, ts, res)
+
     while True:
+        progressed = False  # did this pass submit or emit anything?
         seqs = sorted(d for d in os.listdir(args.data_root)
                       if os.path.isdir(os.path.join(args.data_root, d))
                       and d not in done)
@@ -124,13 +140,17 @@ def main(argv=None):
             chunk_dirs = list_chunk_dirs(
                 os.path.join(args.data_root, name))
             if not chunk_dirs:
-                continue
+                continue  # empty dir: re-polled next pass, not progress
             try:
                 chunks = [load_test_chunk(d) for d in chunk_dirs]
             except Exception as e:  # noqa: BLE001 — skip partial arrivals
+                fail_counts[name] = fail_counts.get(name, 0) + 1
+                if watch and fail_counts[name] < args.max_load_retries:
+                    continue  # likely mid-upload: retry next scan
                 print(json.dumps({"sequence": name,
                                   "error": repr(e)}), flush=True)
                 done.add(name)
+                progressed = True
                 continue
             if len({c.n_frames for c in chunks}) != 1:
                 # unequal chunk lengths: serial per-chunk fallback
@@ -148,11 +168,13 @@ def main(argv=None):
                 print(json.dumps(rec), flush=True)
                 emitted += 1
                 done.add(name)
+                progressed = True
                 continue
             done.add(name)
             t0 = time.perf_counter()
             service.submit_batch(chunks)
             pending.append((name, chunks, t0))
+            progressed = True
             # results complete in submission order; drain ready ones
             while len(service._completed) > 0:
                 n, cs, ts = pending.pop(0)
@@ -160,14 +182,16 @@ def main(argv=None):
 
         if args.max_batches and emitted + len(pending) >= args.max_batches:
             break
-        if args.watch_interval <= 0:
+        if not watch:
             break
-        if not seqs:
+        if not progressed:
+            # idle pass: finish + emit everything in flight, THEN sleep —
+            # gating on `progressed` (not `seqs` emptiness) also prevents
+            # a 100%-CPU rescan loop when only empty/failed dirs remain.
+            drain_pending()
             time.sleep(args.watch_interval)
 
-    for res in service.drain():
-        n, cs, ts = pending.pop(0)
-        emit(n, cs, ts, res)
+    drain_pending()
     return emitted
 
 

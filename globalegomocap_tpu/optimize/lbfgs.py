@@ -482,6 +482,14 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
     instead of three O(m*d) `jnp.roll` buffer rotations (identical
     trajectories; tests/test_lbfgs.py asserts equality).
     """
+    if circular_history and (pallas_direction or compact_direction):
+        # pointer-order buffers vs rolled oldest..newest layout: the
+        # pallas/compact direction readers assume the latter and would
+        # silently produce wrong descent directions.
+        raise ValueError(
+            "circular_history is incompatible with pallas_direction / "
+            "compact_direction (those readers assume rolled history "
+            "layout, newest at m-1)")
     value_and_grad = jax.value_and_grad(loss_fn)
     dim = x0.shape[-1]
     dtype = x0.dtype

@@ -310,6 +310,10 @@ def optimize_chunks_flat(model: ConvVAE, local_variables,
         "flat mode concatenates windows across chunks; the cross-window " \
         "coupling term would wrongly couple chunk boundaries — use " \
         "optimize_chunk/optimize_chunks_batched for joint solving"
+    assert (origins is None) == (full_hw is None), \
+        "origins and full_hw must be supplied together (pre-cropped maps " \
+        "need both the crop origins and the full map extent for " \
+        "reprojection sampling)"
     c = estimated_local.shape[0]
     seq_len, stride = cfg.window.seq_len, cfg.window.stride
     local_w, global_w = stage_weights(cfg)
@@ -344,7 +348,7 @@ def optimize_chunks_flat(model: ConvVAE, local_variables,
         return x.reshape((c * w_per,) + x.shape[2:])
 
     f_local, f_cam, f_heat = flat(win_local), flat(win_cam), flat(win_heat)
-    if full_hw is not None:
+    if origins is not None:
         f_org = flat(win_org)
 
     mid_local = optimize_stage(model, local_variables, f_local, f_heat,

@@ -285,3 +285,20 @@ def test_pallas_direction_batched_pad_path():
     assert pal.shape == (b, dim)
     np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_circular_history_incompatible_with_direction_variants():
+    """pallas/compact direction readers assume rolled history layout;
+    combining them with pointer-order circular buffers must raise
+    (ADVICE r2 low) rather than silently corrupt descent directions."""
+    import pytest
+    from globalegomocap_tpu.optimize.lbfgs import lbfgs_minimize_fixed
+
+    def f(x):
+        return jnp.sum(x ** 2)
+
+    x0 = jnp.ones((4,))
+    for bad in ({"pallas_direction": True}, {"compact_direction": True}):
+        with pytest.raises(ValueError, match="circular_history"):
+            lbfgs_minimize_fixed(f, x0, max_iter=2,
+                                 circular_history=True, **bad)

@@ -69,3 +69,100 @@ def test_serve_unequal_lengths_fallback(tmp_path, capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["sequence"] == "mixed" and rec["chunks"] == 2
     assert "optimized_global_mpjpe" in rec
+
+
+def _mk_prior(tmp_path):
+    from globalegomocap_tpu.models.conv_vae import ConvVAE
+    from globalegomocap_tpu.models.checkpoint import save_msgpack
+    m = ConvVAE(latent_dim=16, seq_len=10, hidden_dims=(8, 8, 16, 16, 32))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    ckpt = str(tmp_path / "prior.msgpack")
+    save_msgpack(v, ckpt)
+    return ckpt
+
+
+class _StopWatch(Exception):
+    pass
+
+
+def _watch_main(root, ckpt, monkeypatch, extra=()):
+    """Run serve main in watch mode with time.sleep patched to raise
+    after recording the call, so the infinite loop terminates."""
+    import pytest
+    import globalegomocap_tpu.cli.serve as serve_mod
+    sleeps = []
+
+    def fake_sleep(t):
+        sleeps.append(t)
+        raise _StopWatch
+
+    monkeypatch.setattr(serve_mod.time, "sleep", fake_sleep)
+    with pytest.raises(_StopWatch):
+        serve_mod.main(["--data_root", str(root), "--local_ckpt", ckpt,
+                        "--global_ckpt", ckpt, "--latent_dim", "16",
+                        "--hidden_dims", "8,8,16,16,32",
+                        "--solver", "lbfgs_fixed",
+                        "--watch_interval", "0.5", *extra])
+    return sleeps
+
+
+def test_serve_watch_emits_in_flight_before_idle(tmp_path, capsys,
+                                                 monkeypatch):
+    """Watch mode must not hold finished results hostage until the NEXT
+    arrival: an idle scan pass drains in-flight work and emits it before
+    sleeping (ADVICE r2 medium)."""
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.data.test_data import save_test_chunk
+
+    root = tmp_path / "incoming"
+    save_test_chunk(synthetic_chunk(26, seed=3),
+                    str(root / "seqA" / "data_start_0_end_26"))
+    sleeps = _watch_main(root, _mk_prior(tmp_path), monkeypatch)
+    # pass 1 submits seqA (progress, no sleep); pass 2 is idle: the
+    # result must be emitted BEFORE the (patched, raising) sleep.
+    assert len(sleeps) == 1
+    lines = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert any(r.get("sequence") == "seqA" and "windows_per_sec" in r
+               for r in lines)
+
+
+def test_serve_watch_sleeps_on_empty_dirs(tmp_path, capsys, monkeypatch):
+    """A subdirectory with no chunk dirs must not busy-spin the scan loop:
+    a pass that makes no progress sleeps even though `seqs` is non-empty
+    (ADVICE r2 medium)."""
+    root = tmp_path / "incoming"
+    (root / "not_yet_uploaded").mkdir(parents=True)
+    sleeps = _watch_main(root, _mk_prior(tmp_path), monkeypatch)
+    assert sleeps == [0.5]
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_serve_watch_retries_failed_loads(tmp_path, capsys, monkeypatch):
+    """A chunk whose pickle fails to load (mid-upload) is retried on later
+    scans in watch mode instead of being marked permanently done
+    (ADVICE r2 low)."""
+    root = tmp_path / "incoming"
+    d = root / "uploading" / "data_start_0_end_26"
+    d.mkdir(parents=True)
+    (d / "test_data.pkl").write_bytes(b"not a pickle")
+    sleeps = _watch_main(root, _mk_prior(tmp_path), monkeypatch)
+    # load failed but under the retry cap: no error record, loop idles
+    assert sleeps == [0.5]
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_serve_one_shot_emits_load_error(tmp_path, capsys):
+    """One-shot mode reports a corrupt sequence immediately."""
+    from globalegomocap_tpu.cli.serve import main
+    root = tmp_path / "incoming"
+    d = root / "corrupt" / "data_start_0_end_26"
+    d.mkdir(parents=True)
+    (d / "test_data.pkl").write_bytes(b"not a pickle")
+    ckpt = _mk_prior(tmp_path)
+    n = main(["--data_root", str(root), "--local_ckpt", ckpt,
+              "--global_ckpt", ckpt, "--latent_dim", "16",
+              "--hidden_dims", "8,8,16,16,32", "--solver", "lbfgs_fixed"])
+    assert n == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["sequence"] == "corrupt" and "error" in rec
