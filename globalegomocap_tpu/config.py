@@ -84,6 +84,13 @@ class EnergyConfig:
     # whole-sequence solve over all window latents; no reference
     # equivalent — enabled by batching the windows)
     overlap_consistency: float = 0.0
+    # explicit stage-2 (global) weight overrides.  The reference hard-codes
+    # the global stage to {3d: weight_3d, smooth: smooth, bone: 0.01}
+    # (optimizer.py:352-353); None keeps that split, a value replaces it —
+    # the lever for tuning the global-prior stage independently
+    # (stage2_experiment.json)
+    global_weight_3d: float | None = None
+    global_smooth: float | None = None
 
 
 @dataclass(frozen=True)

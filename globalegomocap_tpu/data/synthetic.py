@@ -64,6 +64,41 @@ def synthetic_camera_trajectory(n_frames: int, seed: int = 0
     return mats
 
 
+def perturb_camera_trajectory(cams: np.ndarray, seed: int = 0,
+                              drift_rot: float = 0.03,
+                              drift_trans: float = 0.05,
+                              jitter_rot: float = 0.008,
+                              jitter_trans: float = 0.008) -> np.ndarray:
+    """SLAM-like trajectory error: a low-frequency random-walk drift plus
+    per-frame jitter, the error structure of the reference's OpenVSLAM
+    input (reference: slam_reader.py:81-117 recovers only a global scale —
+    drift and jitter remain in the camera matrices the optimizer consumes).
+
+    Rotation error is applied about the CURRENT camera centre (reorients
+    the camera without translating it), translation error is additive, so
+    `drift_*`/`jitter_*` are directly the end-of-sequence / per-frame
+    error magnitudes in radians / metres.  The GLOBAL-stage prior is what
+    corrects this error class; with exact cameras stage 2 has nothing to
+    fix (stage2_experiment.json).
+    """
+    rng = np.random.default_rng(seed + 7)
+    n = len(cams)
+    walk = lambda scale, shape: np.cumsum(  # noqa: E731
+        rng.normal(scale=scale / np.sqrt(max(n, 1)), size=shape), axis=0)
+    yaw = walk(drift_rot, n) + rng.normal(scale=jitter_rot, size=n)
+    tilt = walk(drift_rot / 2, n) + rng.normal(scale=jitter_rot, size=n)
+    dt = walk(drift_trans, (n, 3)) + rng.normal(scale=jitter_trans,
+                                                size=(n, 3))
+    out = cams.copy()
+    for i in range(n):
+        cx, sx = np.cos(tilt[i]), np.sin(tilt[i])
+        rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        err = _rotz(yaw[i]) @ rx
+        out[i, :3, :3] = err @ cams[i, :3, :3]
+        out[i, :3, 3] = cams[i, :3, 3] + dt[i]
+    return out
+
+
 def render_heatmaps(local_pose: np.ndarray,
                     camera: fisheye.FisheyeParams | None = None,
                     size: int = 64, sigma_px: float = 1.5,
@@ -91,22 +126,31 @@ def render_heatmaps(local_pose: np.ndarray,
 
 def synthetic_chunk(n_frames: int = 100, seed: int = 0,
                     noise_std: float = 0.03,
-                    camera: fisheye.FisheyeParams | None = None
-                    ) -> TestChunk:
+                    camera: fisheye.FisheyeParams | None = None,
+                    cam_noise: dict | None = None) -> TestChunk:
     """A full synthetic test chunk in the test_data.pkl contract.
 
-    Ground truth = camera trajectory ∘ true local pose; the estimated local
-    pose is the truth plus white noise (mimicking per-frame network
+    Ground truth = TRUE camera trajectory ∘ true local pose; the estimated
+    local pose is the truth plus white noise (mimicking per-frame network
     estimation error); heatmaps peak at the TRUE projections so the
     reprojection energy carries real signal.
+
+    cam_noise: kwargs for `perturb_camera_trajectory` ({} for defaults,
+    None for exact cameras).  When set, `camera_poses` and the estimated
+    global skeletons carry SLAM-like drift+jitter while `gt_global` stays
+    in the true frame — the reference's real data regime
+    (process_test_data.py:28-35 composes estimated poses through the
+    NOISY SLAM trajectory; GT comes from the mocap system).
     """
     rng = np.random.default_rng(seed + 2)
     local_true = synthetic_motion(n_frames, seed)
-    cams = synthetic_camera_trajectory(n_frames, seed)
+    cams_true = synthetic_camera_trajectory(n_frames, seed)
+    cams = (cams_true if cam_noise is None
+            else perturb_camera_trajectory(cams_true, seed, **cam_noise))
 
     homo = np.concatenate(
         [local_true, np.ones((n_frames, 15, 1))], axis=2)
-    gt_global = np.einsum("nij,nkj->nki", cams, homo)[:, :, :3]
+    gt_global = np.einsum("nij,nkj->nki", cams_true, homo)[:, :, :3]
 
     noise = rng.normal(scale=noise_std, size=local_true.shape)
     est_local = (local_true + noise).astype(np.float32)

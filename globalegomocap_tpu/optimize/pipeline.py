@@ -49,8 +49,10 @@ def stage_weights(cfg: OptimizeConfig):
     """Derive the two stages' energy weights from CLI-level weights
     (reference: optimizer.py:352-358)."""
     e = cfg.energy
+    g3d = e.weight_3d if e.global_weight_3d is None else e.global_weight_3d
+    gsm = e.smooth if e.global_smooth is None else e.global_smooth
     global_w = EnergyWeights.create(
-        weight_3d=e.weight_3d, smooth=e.smooth, bone_length=0.01,
+        weight_3d=g3d, smooth=gsm, bone_length=0.01,
         vae=e.vae, reproj=0.0, gmm=e.gmm, soft_smooth=e.soft_smooth)
     local_w = EnergyWeights.create(
         weight_3d=e.weight_3d / 1e4, smooth=e.smooth / 100.0,

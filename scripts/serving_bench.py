@@ -37,8 +37,11 @@ def main():
     from globalegomocap_tpu.optimize.window import num_windows
 
     # 6 x 40-chunk batches ~= 5.9 GB of device-resident raw maps (16 GB
-    # HBM); larger streams must rotate buffers
+    # HBM); the stream cycles this pool SERVE_ROUNDS times (staging +
+    # solving is genuine work each cycle) so latency percentiles have
+    # n_batches * rounds samples
     n_batches = int(os.environ.get("SERVE_BATCHES", "6"))
+    n_rounds = int(os.environ.get("SERVE_ROUNDS", "4"))
     chunks_per = int(os.environ.get("SERVE_CHUNKS", "40"))
     depth = int(os.environ.get("SERVE_DEPTH", "3"))
 
@@ -71,34 +74,79 @@ def main():
     jax.block_until_ready(
         opt.optimize_chunks_batched(warm, mode="flat").optimized)
 
+    def pct(sorted_ms, q):
+        return round(sorted_ms[min(len(sorted_ms) - 1,
+                                   int(q * len(sorted_ms)))], 1)
+
+    # ---- phase 1: sustained stream (submit as work arrives) -------------
     service = StreamingOptimizer(opt, max_in_flight=depth)
+    n_subs = n_batches * n_rounds
     lat = []
+    submit_block_ms = []
     t_start = time.perf_counter()
     submit_t = {}
-    for b, chunks in enumerate(batches):
+    for b in range(n_subs):
+        chunks = batches[b % n_batches]
         submit_t[b] = time.perf_counter()
         service.submit_batch(chunks)           # stages + dispatches
+        submit_block_ms.append(
+            1e3 * (time.perf_counter() - submit_t[b]))
         while len(service._completed) > len(lat):
             done_idx = len(lat)
             lat.append(time.perf_counter() - submit_t[done_idx])
     service.drain()
     total = time.perf_counter() - t_start
-    while len(lat) < n_batches:
+    while len(lat) < n_subs:
         lat.append(total - (submit_t[len(lat)] - t_start))
 
     lat_ms = sorted(1e3 * x for x in lat)
+
+    # ---- phase 2: backpressure (submissions faster than solve rate) -----
+    # Every submission is issued immediately; beyond `depth` the pipeline
+    # must BLOCK the producer (bounded in-flight = bounded HBM), which
+    # shows up as submit-call latencies ~ one batch solve time instead of
+    # the dispatch-only latency of phase 1.
+    bp = StreamingOptimizer(opt, max_in_flight=depth)
+    bp_submit_ms = []
+    bp_inflight = []
+    t_bp = time.perf_counter()
+    for b in range(n_subs):
+        t0 = time.perf_counter()
+        bp.submit_batch(batches[b % n_batches])
+        bp_submit_ms.append(1e3 * (time.perf_counter() - t0))
+        bp_inflight.append(len(bp._in_flight))
+    bp.drain()
+    bp_total = time.perf_counter() - t_bp
+    assert max(bp_inflight) <= depth, \
+        f"in-flight depth exceeded: {max(bp_inflight)} > {depth}"
+    bp_sorted = sorted(bp_submit_ms)
+
     out = {
         "batches": n_batches,
+        "rounds": n_rounds,
+        "submissions": n_subs,
         "chunks_per_batch": chunks_per,
         "windows_per_batch": wins_per_batch,
         "in_flight_depth": depth,
         "sustained_windows_per_sec": round(
-            n_batches * wins_per_batch / total, 1),
+            n_subs * wins_per_batch / total, 1),
         "total_s": round(total, 3),
-        "batch_latency_ms_p50": round(lat_ms[len(lat_ms) // 2], 1),
-        "batch_latency_ms_p90": round(
-            lat_ms[min(len(lat_ms) - 1, int(0.9 * len(lat_ms)))], 1),
+        "batch_latency_ms_p50": pct(lat_ms, 0.50),
+        "batch_latency_ms_p90": pct(lat_ms, 0.90),
+        "batch_latency_ms_p95": pct(lat_ms, 0.95),
+        "batch_latency_ms_p99": pct(lat_ms, 0.99),
         "batch_latency_ms_max": round(lat_ms[-1], 1),
+        "submit_block_ms_p50": pct(sorted(submit_block_ms), 0.50),
+        "backpressure": {
+            "windows_per_sec": round(n_subs * wins_per_batch / bp_total, 1),
+            "max_in_flight_observed": max(bp_inflight),
+            "submit_ms_p50": pct(bp_sorted, 0.50),
+            "submit_ms_p95": pct(bp_sorted, 0.95),
+            "submit_ms_p99": pct(bp_sorted, 0.99),
+            "note": "submissions issued with no pacing; submit blocks at "
+                    "depth so producer rate degrades to solve rate "
+                    "(bounded HBM)",
+        },
     }
     print(json.dumps(out, indent=1), flush=True)
     with open(os.path.join(REPO, "serving_bench.json"), "w") as f:

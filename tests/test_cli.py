@@ -68,3 +68,36 @@ def test_evaluate_all_cli(assets, capsys):
     assert set(per_seq) == {"seqA", "seqB"}
     out = capsys.readouterr().out
     assert "overall averages" in out
+
+
+def test_evaluate_all_cli_from_torch_payload(assets, tmp_path, capsys):
+    """The real-data on-ramp (VERDICT r2 #8): a checkpoint in the
+    reference's released format — torch.save of
+    {'epoch','args','state_dict','eval_result','optimizer'}
+    (reference: networks/train.py:102-108) — drives cli.evaluate_all
+    end-to-end, so the moment real weights land the parity run is one
+    command."""
+    import torch
+    from tests.torch_vae_harness import TorchConvVAE
+    from globalegomocap_tpu.cli.evaluate_all import main
+
+    torch.manual_seed(3)
+    tmodel = TorchConvVAE(latent_dim=LATENT, seq_len=10,
+                          hidden_dims=HIDDEN).eval()
+    ckpt = str(tmp_path / "19.pth.tar")
+    torch.save({"epoch": 19, "args": {"latent_dim": LATENT},
+                "state_dict": tmodel.state_dict(),
+                "eval_result": 0.05,
+                "optimizer": {"state": {}, "param_groups": []}}, ckpt)
+
+    data_root = assets[0]
+    per_seq = main([
+        "--data_root", data_root,
+        "--local_ckpt", ckpt, "--global_ckpt", ckpt,
+        "--latent_dim", str(LATENT), "--solver", "lbfgs_fixed",
+        "--hidden_dims", ",".join(map(str, HIDDEN)),
+    ])
+    assert set(per_seq) == {"seqA", "seqB"}
+    for avg in per_seq.values():
+        assert np.isfinite(avg["optimized_global_mpjpe"])
+    assert "overall averages" in capsys.readouterr().out
