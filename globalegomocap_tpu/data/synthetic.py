@@ -32,13 +32,15 @@ def _base_local_pose() -> np.ndarray:
 
 
 def synthetic_motion(n_frames: int, seed: int = 0,
-                     motion_scale: float = 0.05) -> np.ndarray:
+                     motion_scale: float = 0.05,
+                     freq_range: tuple = (0.3, 1.2)) -> np.ndarray:
     """(N, 15, 3) smooth local-pose motion around the mean skeleton:
-    superposed sinusoids with per-joint phase, plus slow breathing sway."""
+    superposed sinusoids with per-joint phase, plus slow breathing sway.
+    freq_range widens for faster/jerkier regimes (corpus v2)."""
     rng = np.random.default_rng(seed)
     base = _base_local_pose()
     t = np.arange(n_frames)[:, None, None] / 25.0  # seconds at 25 fps
-    freq = rng.uniform(0.3, 1.2, size=(1, 15, 3))
+    freq = rng.uniform(*freq_range, size=(1, 15, 3))
     phase = rng.uniform(0, 2 * np.pi, size=(1, 15, 3))
     amp = rng.uniform(0.2, 1.0, size=(1, 15, 3)) * motion_scale
     wobble = amp * np.sin(2 * np.pi * freq * t + phase)
@@ -124,10 +126,50 @@ def render_heatmaps(local_pose: np.ndarray,
     return maps.reshape(n, j, size, size).transpose(0, 2, 3, 1)  # (N,H,W,J)
 
 
+def degrade_heatmaps(maps: np.ndarray, seed: int = 0,
+                     occlusion_prob: float = 0.15,
+                     distractor_prob: float = 0.15,
+                     distractor_sigma: float = 2.5,
+                     floor: float = 0.02) -> np.ndarray:
+    """Mo2Cap2-failure-mode degradation of (N, H, W, J) heatmaps:
+
+    - occlusion: with `occlusion_prob` per (frame, joint) the map is
+      flattened toward uniform (peak mass collapses — the regime the
+      crop-mass guard exists for, energy/terms.py crop guard);
+    - multimodal: with `distractor_prob` a second Gaussian of comparable
+      mass appears at a random location (detector ambiguity);
+    - a uniform score floor everywhere (background response).
+
+    Returns a new array; peaks of unaffected maps are unchanged, so the
+    reprojection energy keeps real signal on most joints.
+    """
+    rng = np.random.default_rng(seed + 3)
+    n, h, w, j = maps.shape
+    out = maps.copy()
+    occl = rng.random((n, j)) < occlusion_prob
+    distract = rng.random((n, j)) < distractor_prob
+    cx = rng.uniform(4, w - 4, size=(n, j))
+    cy = rng.uniform(4, h - 4, size=(n, j))
+    gy = np.arange(h)[:, None]
+    gx = np.arange(w)[None, :]
+    for i in range(n):
+        for k in range(j):
+            if occl[i, k]:
+                out[i, :, :, k] = 0.05 * out[i, :, :, k] + floor
+            if distract[i, k]:
+                d2 = ((gx - cx[i, k]) ** 2 + (gy - cy[i, k]) ** 2)
+                out[i, :, :, k] += 0.9 * np.exp(
+                    -d2 / (2 * distractor_sigma ** 2))
+    return (out + floor).astype(np.float32)
+
+
 def synthetic_chunk(n_frames: int = 100, seed: int = 0,
                     noise_std: float = 0.03,
                     camera: fisheye.FisheyeParams | None = None,
-                    cam_noise: dict | None = None) -> TestChunk:
+                    cam_noise: dict | None = None,
+                    degrade: dict | None = None,
+                    motion_scale: float = 0.05,
+                    freq_range: tuple = (0.3, 1.2)) -> TestChunk:
     """A full synthetic test chunk in the test_data.pkl contract.
 
     Ground truth = TRUE camera trajectory ∘ true local pose; the estimated
@@ -141,9 +183,13 @@ def synthetic_chunk(n_frames: int = 100, seed: int = 0,
     in the true frame — the reference's real data regime
     (process_test_data.py:28-35 composes estimated poses through the
     NOISY SLAM trajectory; GT comes from the mocap system).
+    degrade: kwargs for `degrade_heatmaps` ({} for defaults, None off).
+    motion_scale/freq_range: passed to `synthetic_motion`.
     """
     rng = np.random.default_rng(seed + 2)
-    local_true = synthetic_motion(n_frames, seed)
+    local_true = synthetic_motion(n_frames, seed,
+                                  motion_scale=motion_scale,
+                                  freq_range=freq_range)
     cams_true = synthetic_camera_trajectory(n_frames, seed)
     cams = (cams_true if cam_noise is None
             else perturb_camera_trajectory(cams_true, seed, **cam_noise))
@@ -160,6 +206,8 @@ def synthetic_chunk(n_frames: int = 100, seed: int = 0,
     )[:, :, :3]
 
     heat = render_heatmaps(local_true, camera)
+    if degrade is not None:
+        heat = degrade_heatmaps(heat, seed, **degrade)
     return TestChunk(
         estimated_local=est_local.astype(np.float32),
         estimated_global=est_global.astype(np.float32),
@@ -193,3 +241,25 @@ def synthetic_amass(n_sequences: int = 12, frames_per_seq: int = 300,
             "frame_rate": frame_rate,
         })
     return out
+
+
+def synthetic_chunk_v2(n_frames: int = 100, seed: int = 0,
+                       noise_std: float = 0.03,
+                       camera: fisheye.FisheyeParams | None = None
+                       ) -> TestChunk:
+    """The SECOND evaluation regime (quality-robustness corpus): faster,
+    jerkier motion (2x amplitude, up to 2.5 Hz components), SLAM-like
+    camera drift+jitter, and Mo2Cap2-failure-mode heatmaps (occlusion
+    flattening + multimodal distractors + background floor).
+
+    Quality defaults tuned on the v1 corpus (iter15/m5/K2/crop8 —
+    quality_iter_crop*.json) must be re-validated here; the reference's
+    five REAL sequences span exactly this kind of diversity
+    (reference: README.md:29-34).
+    """
+    return synthetic_chunk(n_frames, seed, noise_std=noise_std,
+                           camera=camera,
+                           cam_noise={},        # drift+jitter defaults
+                           degrade={},          # occlusion+distractors
+                           motion_scale=0.10,
+                           freq_range=(0.5, 2.5))

@@ -95,3 +95,31 @@ def recover_pose(rays1: jnp.ndarray, rays2: jnp.ndarray):
     best = int(jnp.argmax(scores))
     R, t = candidates[best]
     return R, t, triangulate_midpoint(rays1, rays2, R, t)
+
+
+def pinhole_pixels_to_rays(K: jnp.ndarray,
+                           points2d: jnp.ndarray) -> jnp.ndarray:
+    """Pinhole pixels -> unit direction rays via K^-1 (..., 3)."""
+    ones = jnp.ones(points2d.shape[:-1] + (1,), dtype=points2d.dtype)
+    homo = jnp.concatenate([points2d, ones], axis=-1)
+    rays = jnp.einsum("ij,...j->...i", jnp.linalg.inv(K[:3, :3]), homo)
+    return rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+
+
+def recover_pose_fisheye_pinhole(fisheye_params: fisheye.FisheyeParams,
+                                 points_fisheye: jnp.ndarray,
+                                 pinhole_K: jnp.ndarray,
+                                 points_pinhole: jnp.ndarray):
+    """Relative pose between the egocentric fisheye camera and an external
+    pinhole camera from 2D-2D correspondences (the reference's external-
+    camera convenience, utils/fisheye/fisheye_epipolar_geometry.py:110-167,
+    which undistorts the fisheye points and runs K-based fundamental-matrix
+    recovery).  Here both cameras unproject straight to unit rays — the
+    fisheye through its calibrated polynomial, the pinhole through K^-1 —
+    and share the generic ray-based pipeline, so no undistortion resampling
+    error enters.  Returns (R, t, points3d): x_pinhole = R x_fisheye + t,
+    |t| = 1 (metric scale is not observable from 2D-2D), points3d in the
+    fisheye camera's frame."""
+    rays1 = pixels_to_rays(fisheye_params, points_fisheye)
+    rays2 = pinhole_pixels_to_rays(jnp.asarray(pinhole_K), points_pinhole)
+    return recover_pose(rays1, rays2)

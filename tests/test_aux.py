@@ -119,6 +119,36 @@ class TestEpipolar:
         np.testing.assert_allclose(np.asarray(back), np.asarray(px),
                                    atol=0.5)
 
+    def test_recover_pose_fisheye_pinhole(self):
+        """Mixed-camera wrapper: synthetic points seen by the calibrated
+        fisheye (camera 1) and an external pinhole camera (camera 2)
+        recover the true relative pose (reference convenience:
+        fisheye_epipolar_geometry.py:110-167)."""
+        from scipy.spatial.transform import Rotation
+        from globalegomocap_tpu.ops import fisheye
+        from globalegomocap_tpu.ops.epipolar import (
+            recover_pose_fisheye_pinhole)
+
+        cam = fisheye.default_camera("egosyn")
+        # points in front of the fisheye (its +z looks "down" the rig)
+        X = rng.uniform(-0.6, 0.6, size=(40, 3)) + np.array([0, 0, 2.5])
+        px_fish = np.asarray(fisheye.world2camera(cam, jnp.asarray(X)))
+
+        R = Rotation.from_euler("xyz", [4, -6, 2], degrees=True).as_matrix()
+        t = np.array([0.8, 0.3, -0.2])
+        t = t / np.linalg.norm(t)
+        K = np.array([[800.0, 0, 640.0], [0, 800.0, 360.0], [0, 0, 1.0]])
+        x2 = (R @ X.T).T + t
+        px_pin = (K @ x2.T).T
+        px_pin = px_pin[:, :2] / px_pin[:, 2:]
+
+        R_est, t_est, points = recover_pose_fisheye_pinhole(
+            cam, jnp.asarray(px_fish), jnp.asarray(K), jnp.asarray(px_pin))
+        np.testing.assert_allclose(np.asarray(R_est), R, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(t_est), t, atol=5e-3)
+        # structure in the fisheye frame, |t|=1 scale
+        np.testing.assert_allclose(np.asarray(points), X, atol=5e-2)
+
 
 class TestCaptury:
     def test_parse_block(self, tmp_path):
