@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lbfgs_fixed: pointer-indexed circular history "
                         "(one O(d) row write per iteration instead of "
                         "three O(m*d) roll copies; identical trajectory)")
+    p.add_argument("--fused_energy", default=False, type=str2bool,
+                   help="lbfgs_fixed: ONE Pallas kernel per objective "
+                        "eval for the whole post-decode energy "
+                        "(value + analytic grad); needs reproj + "
+                        "heatmap_crop + float32 maps")
     p.add_argument("--sampling", default="gather",
                    choices=["gather", "dense", "pallas"])
     p.add_argument("--heatmap_dtype", default="float32",
@@ -139,6 +144,7 @@ def main(argv=None):
         solver=SolverConfig(method=args.solver,
                             fused_probes=args.fused_probes,
                             circular_history=args.circular_history,
+                            fused_energy=args.fused_energy,
                             init=args.init, init_seed=args.init_seed),
         sampling_impl=args.sampling,
         heatmap_dtype=args.heatmap_dtype,

@@ -61,6 +61,13 @@ class SolverConfig:
     # rematerialize the decoder in the backward pass (trades FLOPs for HBM,
     # for very large window batches)
     remat: bool = False
+    # fixed solver: compute the ENTIRE post-decode stage-1 energy (fisheye
+    # projection + crop sampling + 3d/accel/bone/vae + reductions) and its
+    # analytic gradient in ONE Pallas kernel per objective eval
+    # (ops/pallas/fused_energy.py), via the explicitly-batched solver.
+    # Requires lbfgs_fixed + reproj + heatmap_crop + f32 maps; other
+    # configurations fall back to the XLA path.
+    fused_energy: bool = False
 
 
 @dataclass(frozen=True)

@@ -590,6 +590,95 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
                        n_evals=jnp.asarray(n_evals))
 
 
+def lbfgs_minimize_fixed_batched(value_and_grad_batch, x0: jnp.ndarray,
+                                 max_iter: int = 25,
+                                 history_size: int = 10,
+                                 lr: float = 2.0,
+                                 step_candidates=(1.0, 0.5, 0.1, 0.02),
+                                 c1: float = 1e-4) -> LBFGSResult:
+    """`lbfgs_minimize_fixed` with an EXPLICIT batch axis and fused probes.
+
+    value_and_grad_batch: (R, B, d) -> ((R, B), (R, B, d)), row-independent
+    — the B columns are separate optimization problems, R is the candidate
+    (probe) axis (R=1 for the init eval, R=K inside the line search; the
+    candidate axis leads so the objective's per-window context stays
+    loop-invariant in memory — no per-eval tiling).  Identical math to
+    `jax.vmap(lbfgs_minimize_fixed(..., fused_probes=True))` column by
+    column (tests/test_lbfgs_fixed.py asserts trajectory equality), but
+    the objective sees the WHOLE batch in one call — which is what lets
+    the fused Pallas energy kernel (ops/pallas/fused_energy.py) run as
+    one kernel per eval instead of fighting nested vmap batching rules.
+    x0: (B, d).
+    """
+    b, dim = x0.shape
+    dtype = x0.dtype
+    cands = jnp.asarray(step_candidates, dtype) * lr
+    k = len(step_candidates)
+
+    f0, g0 = value_and_grad_batch(x0[None])
+    f0, g0 = f0[0], g0[0]
+    first_scale = jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(g0), axis=-1))
+
+    dir_fn = jax.vmap(_two_loop_direction)
+
+    def step(carry, it):
+        x, f, g, s_hist, y_hist, rho_hist, valid = carry
+        d = dir_fn(g, s_hist, y_hist, rho_hist, valid)        # (B, dim)
+        descent = jnp.sum(d * g, axis=-1) < 0
+        good = descent & jnp.all(jnp.isfinite(d), axis=-1)
+        d = jnp.where(good[:, None], d, -g)
+        dphi0 = jnp.sum(d * g, axis=-1)                       # (B,)
+
+        scale = jnp.where(it == 0, first_scale, 1.0)          # (B,)
+        ts = cands[:, None] * scale[None, :]                  # (K, B)
+        xs = x[None] + ts[:, :, None] * d[None]               # (K, B, dim)
+        fs_raw, gs = value_and_grad_batch(xs)                 # (K,B),(K,B,d)
+        fs = jnp.where(jnp.isfinite(fs_raw), fs_raw, jnp.inf)
+
+        armijo = fs <= f[None] + c1 * ts * dphi0[None]        # (K, B)
+        first_ok = jnp.argmax(armijo, axis=0)
+        any_ok = jnp.any(armijo, axis=0)
+        best = jnp.argmin(fs, axis=0)
+        idx = jnp.where(any_ok, first_ok, best)               # (B,)
+        f_sel = jnp.take_along_axis(fs, idx[None], 0)[0]
+        g_sel = jnp.take_along_axis(gs, idx[None, :, None], 0)[0]
+        t_sel = jnp.take_along_axis(ts, idx[None], 0)[0]
+        improved = f_sel < f
+        t = jnp.where(improved, t_sel, 0.0)
+
+        step_vec = t[:, None] * d
+        x_new = x + step_vec
+        f_new = jnp.where(improved, f_sel, f)
+        g_new = jnp.where(improved[:, None], g_sel, g)
+        y = g_new - g
+        ys = jnp.sum(y * step_vec, axis=-1)
+        do_update = ys > 1e-10                                # (B,)
+
+        def roll_set(hist, new_row):
+            rolled = jnp.roll(hist, -1, 1).at[:, -1].set(new_row)
+            expand = (slice(None),) + (None,) * (hist.ndim - 1)
+            return jnp.where(do_update[expand], rolled, hist)
+
+        s_hist = roll_set(s_hist, step_vec)
+        y_hist = roll_set(y_hist, y)
+        rho_hist = roll_set(rho_hist, 1.0 / ys)
+        valid = roll_set(valid, jnp.ones((b,), bool))
+        return (x_new, f_new, g_new, s_hist, y_hist, rho_hist,
+                valid), None
+
+    init = (x0, f0, g0,
+            jnp.zeros((b, history_size, dim), dtype),
+            jnp.zeros((b, history_size, dim), dtype),
+            jnp.zeros((b, history_size), dtype),
+            jnp.zeros((b, history_size), bool))
+    (x, f, g, *_), _ = jax.lax.scan(step, init,
+                                    jnp.arange(max_iter, dtype=jnp.int32))
+    return LBFGSResult(x=x, f=f,
+                       grad_norm=jnp.max(jnp.abs(g), axis=-1),
+                       n_iter=jnp.asarray(max_iter),
+                       n_evals=jnp.asarray(max_iter * k + 1))
+
+
 def adam_minimize(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
                   x0: jnp.ndarray,
                   steps: int = 150,

@@ -152,6 +152,57 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     if cfg.solver.remat:
         decode = jax.checkpoint(decode)
 
+    s = cfg.solver
+    if (s.method == "lbfgs_fixed" and s.fused_energy and use_reproj
+            and origins is not None and smoothed is None
+            and float(cfg.energy.overlap_consistency) == 0.0
+            and cfg.heatmap_dtype == "float32"):
+        # MEGA-KERNEL PATH: the whole post-decode energy (value + analytic
+        # grad) is ONE Pallas kernel per eval; the solver runs explicitly
+        # batched so the kernel sees the full (K, W) probe batch and the
+        # per-window context stays loop-invariant (no per-eval tiling).
+        from globalegomocap_tpu.ops.pallas.fused_energy import (
+            fused_stage_energy)
+        from globalegomocap_tpu.optimize.lbfgs import (
+            lbfgs_minimize_fixed_batched)
+        kk = heatmaps.shape[-1]
+        L = t * 15
+        anchor_t = jnp.moveaxis(init_pose.reshape(w, L, 3), -1, 1)
+        crops_cm = jnp.swapaxes(heatmaps.reshape(w, L, kk * kk), 1, 2)
+        f_ox = origins[..., 1].reshape(w, L)
+        f_oy = origins[..., 0].reshape(w, L)
+        bone_t = jnp.tile(mean_bl, (1, t))                   # (W, L)
+        wvec = jnp.stack([
+            weights.weight_3d, weights.smooth, weights.bone_length,
+            weights.vae, weights.reproj, camera.center[0],
+            camera.center[1], jnp.asarray(0.0, jnp.float32),
+        ])[None].astype(jnp.float32)
+        poly = camera.poly_w2c[None].astype(jnp.float32)
+        ctx = (wvec, poly)
+        hg = cfg.heatmap
+        latent = mu.shape[-1]
+
+        def vg_batch(z3):
+            def batch_energy(z3_):
+                rr, bb = z3_.shape[0], z3_.shape[1]
+                pose = decode_batch(z3_.reshape(rr * bb, latent)).astype(
+                    jnp.float32)
+                pose_rt = jnp.moveaxis(
+                    pose.reshape(rr * bb, L, 3), -1, 1
+                ).reshape(rr, bb, 3, L)
+                return fused_stage_energy(
+                    pose_rt, anchor_t, crops_cm, f_ox, f_oy, bone_t, ctx,
+                    t, 15, kk, full_hw, hg.crop_offset, hg.half_extent)
+            vals, pull = jax.vjp(batch_energy, z3)
+            (gz,) = pull(jnp.ones_like(vals))
+            return vals, gz
+
+        res = lbfgs_minimize_fixed_batched(
+            vg_batch, mu, max_iter=s.max_iter,
+            history_size=s.history_size, lr=s.lr,
+            step_candidates=tuple(s.step_candidates))
+        return decode_batch(res.x)
+
     # vmap in_axes for the optional per-window context (None = absent)
     ax_org = 0 if origins is not None else None
     ax_sm = 0 if smoothed is not None else None

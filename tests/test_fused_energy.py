@@ -1,0 +1,204 @@
+"""Fused post-decode energy mega-kernel (ops/pallas/fused_energy.py):
+value and analytic gradient must match the XLA energy path exactly, and
+the explicitly-batched solver must reproduce the vmapped fixed solver."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from globalegomocap_tpu.energy.terms import (
+    EnergyWeights, total_energy_from_pose)
+from globalegomocap_tpu.ops import fisheye
+from globalegomocap_tpu.ops.pallas.fused_energy import fused_stage_energy
+
+T, J, K = 10, 15, 8
+L = T * J
+FULL_HW = (64, 64)
+
+
+def _random_inputs(b, seed=0):
+    rng = np.random.default_rng(seed)
+    # poses near the synthetic skeleton's depth range so projections land
+    # on-map
+    pose = rng.normal(scale=0.3, size=(b, T, J, 3)) + np.array([0, 0, 1.5])
+    anchor = pose + rng.normal(scale=0.05, size=pose.shape)
+    crops = rng.uniform(size=(b, T, J, K, K)).astype(np.float32)
+    origins = rng.integers(0, 56, size=(b, T, J, 2)).astype(np.float32)
+    bone = rng.uniform(0.1, 0.5, size=(b, J)).astype(np.float32)
+    return (jnp.asarray(pose, jnp.float32),
+            jnp.asarray(anchor, jnp.float32),
+            jnp.asarray(crops), jnp.asarray(origins), jnp.asarray(bone))
+
+
+def _to_kernel_layout(pose, anchor, crops, origins, bone):
+    b = pose.shape[0]
+    pose_rt = jnp.moveaxis(pose.reshape(b, L, 3), -1, 1)[None]
+    anchor_t = jnp.moveaxis(anchor.reshape(b, L, 3), -1, 1)
+    crops_cm = jnp.swapaxes(crops.reshape(b, L, K * K), 1, 2)
+    ox = origins[..., 1].reshape(b, L)
+    oy = origins[..., 0].reshape(b, L)
+    bone_t = jnp.tile(bone, (1, T))
+    return pose_rt, anchor_t, crops_cm, ox, oy, bone_t
+
+
+def _ctx(camera, w):
+    wvec = jnp.stack([w.weight_3d, w.smooth, w.bone_length, w.vae,
+                      w.reproj, camera.center[0], camera.center[1],
+                      jnp.asarray(0.0, jnp.float32)])[None]
+    return (wvec.astype(jnp.float32),
+            camera.poly_w2c[None].astype(jnp.float32))
+
+
+def _xla_energies(pose, anchor, crops, origins, bone, camera, w):
+    return jax.vmap(
+        lambda p, a, h, b_, o: total_energy_from_pose(
+            p, a, b_, h, camera, w, True, sampling_impl="dense",
+            origins=o, full_hw=FULL_HW))(pose, anchor, crops, bone,
+                                         origins)
+
+
+@pytest.mark.parametrize("b", [4, 7])
+def test_fused_energy_matches_xla(b):
+    camera = fisheye.default_camera("egosyn")
+    w = EnergyWeights.create(weight_3d=0.01, smooth=0.001,
+                             bone_length=0.02, vae=0.003, reproj=0.01)
+    pose, anchor, crops, origins, bone = _random_inputs(b, seed=1)
+    layout = _to_kernel_layout(pose, anchor, crops, origins, bone)
+    e_kernel = fused_stage_energy(*layout, _ctx(camera, w), T, J, K,
+                                  FULL_HW, 128.0, 512.0)
+    e_xla = _xla_energies(pose, anchor, crops, origins, bone, camera, w)
+    np.testing.assert_allclose(np.asarray(e_kernel[0]), np.asarray(e_xla),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_fused_energy_grad_matches_xla():
+    camera = fisheye.default_camera("egosyn")
+    w = EnergyWeights.create(weight_3d=0.01, smooth=0.001,
+                             bone_length=0.02, vae=0.003, reproj=0.01)
+    pose, anchor, crops, origins, bone = _random_inputs(5, seed=2)
+    layout = _to_kernel_layout(pose, anchor, crops, origins, bone)
+
+    def kernel_sum(pose_rt):
+        return jnp.sum(fused_stage_energy(
+            pose_rt, *layout[1:], _ctx(camera, w), T, J, K, FULL_HW,
+            128.0, 512.0))
+
+    g_kernel = jax.grad(kernel_sum)(layout[0])       # (1, B, 3, L)
+    g_pose = jnp.moveaxis(g_kernel[0], 1, -1).reshape(pose.shape)
+
+    def xla_sum(p):
+        return jnp.sum(_xla_energies(p, anchor, crops, origins, bone,
+                                     camera, w))
+
+    g_xla = jax.grad(xla_sum)(pose)
+    np.testing.assert_allclose(np.asarray(g_pose), np.asarray(g_xla),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_fused_energy_probe_axis_reuses_context():
+    """R>1 (line-search candidates): each probe row must be evaluated
+    against the SAME per-window context."""
+    camera = fisheye.default_camera("egosyn")
+    w = EnergyWeights.create()
+    pose, anchor, crops, origins, bone = _random_inputs(3, seed=3)
+    pose2 = pose + 0.01
+    layout1 = _to_kernel_layout(pose, anchor, crops, origins, bone)
+    layout2 = _to_kernel_layout(pose2, anchor, crops, origins, bone)
+    pose_r2 = jnp.concatenate([layout1[0], layout2[0]], axis=0)
+    e2 = fused_stage_energy(pose_r2, *layout1[1:], _ctx(camera, w),
+                            T, J, K, FULL_HW, 128.0, 512.0)
+    e_a = fused_stage_energy(*layout1, _ctx(camera, w), T, J, K, FULL_HW,
+                             128.0, 512.0)
+    e_b = fused_stage_energy(*layout2, _ctx(camera, w), T, J, K, FULL_HW,
+                             128.0, 512.0)
+    np.testing.assert_allclose(np.asarray(e2[0]), np.asarray(e_a[0]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(e2[1]), np.asarray(e_b[0]),
+                               rtol=1e-6)
+
+
+def test_batched_solver_matches_vmapped_fixed():
+    """lbfgs_minimize_fixed_batched == vmap(lbfgs_minimize_fixed) row by
+    row on a batch of random PSD quadratics."""
+    from globalegomocap_tpu.optimize.lbfgs import (
+        lbfgs_minimize_fixed, lbfgs_minimize_fixed_batched)
+    rng = np.random.default_rng(4)
+    b, d = 6, 12
+    mats = []
+    for _ in range(b):
+        m = rng.normal(size=(d, d))
+        mats.append(m @ m.T + d * np.eye(d))
+    A = jnp.asarray(np.stack(mats), jnp.float32)
+    rhs = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    x0 = jnp.zeros((b, d), jnp.float32)
+
+    def loss_row(a, bb, x):
+        return 0.5 * x @ a @ x - bb @ x
+
+    def vg_batch(x3):
+        def f(x3_):
+            return jax.vmap(jax.vmap(loss_row, in_axes=(0, 0, 0)),
+                            in_axes=(None, None, 0))(A, rhs, x3_)
+        vals, pull = jax.vjp(f, x3)
+        (g,) = pull(jnp.ones_like(vals))
+        return vals, g
+
+    res_b = lbfgs_minimize_fixed_batched(vg_batch, x0, max_iter=12,
+                                         history_size=5, lr=1.0,
+                                         step_candidates=(1.0, 0.1))
+    res_v = jax.vmap(
+        lambda a, bb, x: lbfgs_minimize_fixed(
+            lambda xx: loss_row(a, bb, xx), x, max_iter=12,
+            history_size=5, lr=1.0, step_candidates=(1.0, 0.1),
+            fused_probes=True))(A, rhs, x0)
+    # identical math; tiny fp differences from batched-vs-vmapped
+    # reduction order can steer late iterations on ill-conditioned rows
+    np.testing.assert_allclose(np.asarray(res_b.x), np.asarray(res_v.x),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res_b.f), np.asarray(res_v.f),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_pipeline_fused_energy_end_to_end():
+    """optimize_chunk with solver.fused_energy=True matches the XLA path's
+    result on a small chunk (same trajectory up to fp reassociation)."""
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, PriorConfig, SolverConfig)
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.models.conv_vae import ConvVAE
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model)
+
+    base = OptimizeConfig(
+        prior=PriorConfig(latent_dim=16, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=6,
+                            history_size=5, fused_probes=True,
+                            step_candidates=(1.0, 0.1)),
+        sampling_impl="dense", heatmap_crop=8, fold_bn=True,
+        dense_decoder=True, decoder_impl="shift")
+    from dataclasses import replace
+    fused = replace(base, solver=replace(base.solver, fused_energy=True))
+    model = build_model(base)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    chunk = synthetic_chunk(26, seed=11)
+
+    res_a = SequenceOptimizer(model, v, v, base).optimize_chunk(chunk)
+    res_b = SequenceOptimizer(model, v, v, fused).optimize_chunk(chunk)
+    a_mid = np.asarray(res_a.mid_local)
+    b_mid = np.asarray(res_b.mid_local)
+    assert np.isfinite(b_mid).all()
+    assert np.isfinite(np.asarray(res_b.optimized)).all()
+    # The two paths compute the same math with different fp reduction
+    # order; after several Armijo selections trajectories can branch, so
+    # pose-wise equality is not the right check — equal solution QUALITY
+    # is: both must denoise the input toward the true local pose to the
+    # same degree.
+    true_local = np.asarray(
+        jnp.asarray(chunk.estimated_local))  # noisy input
+    err_a = np.linalg.norm(a_mid - true_local[:a_mid.shape[0]],
+                           axis=-1).mean()
+    err_b = np.linalg.norm(b_mid - true_local[:b_mid.shape[0]],
+                           axis=-1).mean()
+    assert abs(err_a - err_b) < 0.05 * max(err_a, 1e-6), (err_a, err_b)
