@@ -61,6 +61,10 @@ COMPACT_DIR = os.environ.get("BENCH_COMPACT_DIRECTION", "0") == "1"
 # fixed solver: pointer-indexed circular history (one O(d) row write per
 # iteration instead of three O(m*d) roll copies; identical trajectory)
 CIRCULAR_HISTORY = os.environ.get("BENCH_CIRCULAR_HISTORY", "0") == "1"
+# fixed solver: the whole post-decode energy (value + analytic grad) as
+# ONE Pallas kernel per eval (ops/pallas/fused_energy.py); A/B:
+# fused_ab.json
+FUSED_ENERGY = os.environ.get("BENCH_FUSED_ENERGY", "0") == "1"
 # L-BFGS history size (the two-loop recursion and the history rolls scale
 # with it): m=5 wins once launch costs stopped masking it — 4695 vs 3958
 # w/s at batch 40 (perf_levers_r2e.json) — and passes every quality
@@ -116,6 +120,7 @@ def main():
     import jax.numpy as jnp
 
     from globalegomocap_tpu.config import (
+    EnergyConfig,
         OptimizeConfig, PriorConfig, SolverConfig)
     from globalegomocap_tpu.data.synthetic import synthetic_chunk
     from globalegomocap_tpu.optimize.driver import (
@@ -135,7 +140,10 @@ def main():
                             compact_direction=COMPACT_DIR,
                             circular_history=CIRCULAR_HISTORY,
                             history_size=HISTORY, max_iter=MAX_ITER,
+                            fused_energy=FUSED_ENERGY,
                             step_candidates=STEP_CANDIDATES),
+        energy=EnergyConfig(global_weight_3d=float(os.environ.get(
+            "BENCH_GLOBAL_W3D", "1.0"))),
         sampling_impl=SAMPLING,
         fold_bn=FOLD_BN,
         dense_decoder=DENSE_DECODER,

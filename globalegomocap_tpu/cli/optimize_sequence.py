@@ -83,6 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lbfgs_fixed: pointer-indexed circular history "
                         "(one O(d) row write per iteration instead of "
                         "three O(m*d) roll copies; identical trajectory)")
+    p.add_argument("--global_weight_3d", default=None, type=float,
+                   help="stage-2 (global) 3d-anchor weight override; "
+                        "None keeps the reference split (weight_3d). "
+                        "stage2_experiment.json: 1.0 is best in both "
+                        "clean and SLAM-noise regimes")
+    p.add_argument("--global_smooth", default=None, type=float,
+                   help="stage-2 smoothness weight override")
     p.add_argument("--fused_energy", default=False, type=str2bool,
                    help="lbfgs_fixed: ONE Pallas kernel per objective "
                         "eval for the whole post-decode energy "
@@ -137,7 +144,9 @@ def main(argv=None):
                             weight_3d=args.weight_3d,
                             reproj=args.reproj_weight,
                             overlap_consistency=args.overlap_consistency,
-                            soft_smooth=args.soft_smooth),
+                            soft_smooth=args.soft_smooth,
+                            global_weight_3d=args.global_weight_3d,
+                            global_smooth=args.global_smooth),
         prior=PriorConfig(latent_dim=args.latent_dim, seq_len=args.seq_len,
                           hidden_dims=tuple(
                               int(x) for x in args.hidden_dims.split(","))),

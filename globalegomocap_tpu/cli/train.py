@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "near-deterministic (faster convergence on small "
                         "corpora)")
     p.add_argument("--weight_decay", default=0.0, type=float)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="conv-stack compute dtype (bf16 MXU matmuls; "
+                        "params/optimizer/loss stay f32)")
     p.add_argument("--slide_window_step", default=1, type=int)
     p.add_argument("--data_balance", default=False, type=str2bool)
     p.add_argument("--local_pose", default=False, type=str2bool,
@@ -100,6 +104,7 @@ def main(argv=None):
         lr_schedule=args.lr_schedule,
         lr_warmup_steps=args.lr_warmup_steps, lr_final=args.lr_final,
         logvar_init_bias=args.logvar_init_bias,
+        compute_dtype=args.compute_dtype,
         weight_decay=args.weight_decay,
         slide_window_step=args.slide_window_step,
         data_balance=args.data_balance, local_pose=args.local_pose,

@@ -196,6 +196,10 @@ class TrainConfig:
     # negative values start the posterior near-deterministic, which
     # converges much faster on small corpora (prior_floor_experiment.json)
     logvar_init_bias: float = 0.0
+    # conv-stack compute dtype: 'bfloat16' runs the encoder/decoder
+    # matmuls on the MXU in bf16 (params, optimizer state and the loss
+    # stay f32) — measured in train_perf_r3.json
+    compute_dtype: str = "float32"
     weight_decay: float = 0.0
     slide_window_step: int = 1
     data_balance: bool = False

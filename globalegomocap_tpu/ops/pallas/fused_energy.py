@@ -58,6 +58,36 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _atan_coeffs(degree: int = 12) -> np.ndarray:
+    """Chebyshev-fit coefficients c_i of atan(t) ~ t * sum c_i (t^2)^i on
+    t in [0, 1] (max abs error ~1e-8 at degree 12) — Mosaic has no atan
+    lowering (NotImplementedError on TC kernels), so the kernel evaluates
+    this range-reduced polynomial instead."""
+    t = np.cos(np.pi * (np.arange(2000) + 0.5) / 2000) * 0.5 + 0.5
+    y = np.arctan(t) / np.where(t > 0, t, 1.0)
+    v = np.vander(t * t, degree + 1, increasing=True)
+    c, *_ = np.linalg.lstsq(v, y, rcond=None)
+    return c.astype(np.float32)
+
+
+_ATAN_C = _atan_coeffs()
+
+
+def _atan(u):
+    """Elementwise arctan for Pallas TPU: range-reduce |u| to [0, 1] via
+    atan(u) = pi/2 - atan(1/u), evaluate the minimax polynomial."""
+    au = jnp.abs(u)
+    big = au > 1.0
+    t = jnp.where(big, 1.0 / jnp.maximum(au, 1.0), au)
+    t2 = t * t
+    p = jnp.full_like(t, float(_ATAN_C[-1]))
+    for c in _ATAN_C[-2::-1]:
+        p = p * t2 + float(c)
+    r = t * p
+    r = jnp.where(big, (np.pi / 2) - r, r)
+    return jnp.sign(u) * r
+
+
 def _difference_matrix(t: int, j: int) -> np.ndarray:
     """(L, L) matrix A with (A p)_i = p_i - p_parent(i) per frame."""
     parents = np.asarray(KINEMATIC_PARENTS)
@@ -92,7 +122,7 @@ def _kernel(pose_ref, anchor_ref, crops_ref, ox_ref, oy_ref, bone_ref,
     ns = jnp.maximum(n, _EPS)
     inv_ns = 1.0 / ns
     u = z2 * inv_ns
-    theta = jnp.arctan(u)
+    theta = _atan(u)   # Mosaic has no atan lowering; see _atan
     # Horner rho(theta) and rho'(theta), static unroll over coefficients
     npoly = poly_ref.shape[1]
     rho = jnp.zeros_like(theta)

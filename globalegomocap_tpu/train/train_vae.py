@@ -142,9 +142,12 @@ class Trainer:
         self.cfg = cfg
         self.train_ds = train_ds
         self.test_ds = test_ds
+        dt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+              else jnp.float32)
         self.model = model or ConvVAE(latent_dim=cfg.latent_dim,
                                       seq_len=cfg.seq_length,
-                                      logvar_bias_init=cfg.logvar_init_bias)
+                                      logvar_bias_init=cfg.logvar_init_bias,
+                                      dtype=dt)
         steps_per_epoch = max(1, len(train_ds) // max(1, cfg.batch_size))
         self.tx = make_optimizer(cfg, total_steps=steps_per_epoch
                                  * cfg.epochs)

@@ -111,38 +111,82 @@ def main():
         return e_batch(pose, poseK, cropK, blK, orgK)
 
     out = {"batch": int(B * K), "windows": int(B), "k_probe": K}
+    n_scan = int(os.environ.get("DECOMP_SCAN", "100"))
 
     def measure(name, fn, arg):
-        jfn = jax.jit(fn)
+        # ONE launch is tunnel-RTT-floored (~24 ms, fixed_cost_probe), so
+        # time a lax.scan of n_scan evals, with the input perturbed by a
+        # function of the previous output each iteration (the microbench
+        # trap: an invariant body gets hoisted by XLA — CLAUDE.md).
+        def body(c, _):
+            r = fn(c)
+            leaves = jax.tree_util.tree_leaves(r)
+            bump = sum(jnp.sum(leaf.astype(jnp.float32) * 0.0)
+                       for leaf in leaves) + 1e-30 * jnp.sum(
+                leaves[0].astype(jnp.float32))
+            return c * (1.0 + bump), None
+
+        def scanned(c):
+            c2, _ = jax.lax.scan(body, c, None, length=n_scan)
+            return c2
+
+        jfn = jax.jit(scanned)
         t0 = time.perf_counter()
-        r = jfn(arg)
-        jax.block_until_ready(r)
+        jax.block_until_ready(jfn(arg))
         compile_s = time.perf_counter() - t0
         ts = []
-        for _ in range(20):
+        for _ in range(5):
             t0 = time.perf_counter()
             jax.block_until_ready(jfn(arg))
             ts.append(time.perf_counter() - t0)
-        ms = 1e3 * min(ts)
+        ms = 1e3 * min(ts) / n_scan
         try:
-            txt = jfn.lower(arg).compile().as_text()
+            txt = jax.jit(fn).lower(arg).compile().as_text()
             fusions = txt.count(" fusion(") + txt.count(" fusion.")
         except Exception:
             fusions = -1
-        out[name] = {"ms": round(ms, 3), "compile_s": round(compile_s, 1),
+        out[name] = {"ms_per_eval": round(ms, 4),
+                     "scan_total_ms": round(1e3 * min(ts), 1),
+                     "compile_s": round(compile_s, 1),
                      "hlo_fusions": fusions}
         print(name, out[name], flush=True)
 
-    g_full = jax.grad(full_loss)
-    g_dec = jax.grad(decode_loss)
-    g_en = jax.grad(energy_loss)
-
     measure("full_value", full_loss, zK)
-    measure("full_vg", lambda z: (full_loss(z), g_full(z)), zK)
+    measure("full_vg", jax.value_and_grad(full_loss), zK)
     measure("decode_value", decode_loss, zK)
-    measure("decode_vg", lambda z: (decode_loss(z), g_dec(z)), zK)
+    measure("decode_vg", jax.value_and_grad(decode_loss), zK)
     measure("energy_value", energy_loss, poseK)
-    measure("energy_vg", lambda p: (energy_loss(p), g_en(p)), poseK)
+    measure("energy_vg", jax.value_and_grad(energy_loss), poseK)
+
+    # the fused mega-kernel's own eval at the same shapes (value+grad in
+    # one pallas_call; ops/pallas/fused_energy.py)
+    try:
+        from globalegomocap_tpu.ops.pallas.fused_energy import (
+            fused_stage_energy)
+        anchor_t = jnp.moveaxis(poseK.reshape(B * K, 150, 3), -1, 1)
+        crops_cm = jnp.swapaxes(cropK.reshape(B * K, 150, 64), 1, 2)
+        f_ox = orgK[..., 1].reshape(B * K, 150)
+        f_oy = orgK[..., 0].reshape(B * K, 150)
+        bone_t = jnp.tile(blK, (1, 10))
+        wvec = jnp.stack([
+            local_w.weight_3d, local_w.smooth, local_w.bone_length,
+            local_w.vae, local_w.reproj, camera.center[0],
+            camera.center[1], jnp.asarray(0.0, jnp.float32)])[None]
+        poly = camera.poly_w2c[None].astype(jnp.float32)
+
+        def fused_vg(pose_t):
+            def f(pt):
+                return jnp.sum(fused_stage_energy(
+                    pt[None], anchor_t, crops_cm, f_ox, f_oy, bone_t,
+                    (wvec.astype(jnp.float32), poly), 10, 15, 8,
+                    full_hw, 128.0, 512.0))
+            return jax.value_and_grad(f)(pose_t)
+
+        pose_t0 = jnp.moveaxis(poseK.reshape(B * K, 150, 3), -1, 1)
+        measure("fused_energy_vg", fused_vg, pose_t0)
+    except Exception as e:  # noqa: BLE001
+        out["fused_energy_vg_error"] = repr(e)
+        print("fused_energy_vg failed:", repr(e), flush=True)
 
     with open(os.path.join(REPO, "eval_decomp.json"), "w") as f:
         json.dump(out, f, indent=1)

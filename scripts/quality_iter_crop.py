@@ -78,29 +78,47 @@ def main():
     local_vars = train(True)
     global_vars = train(False)
 
-    # the headline's exact 5x5-chunk workload
-    chunks = [synthetic_chunk(100, seed=1000 * i + j)
+    # the headline's exact 5x5-chunk workload; QIC_CORPUS=v2 swaps in the
+    # second regime (jerky motion + SLAM camera noise + degraded maps —
+    # VERDICT r2 #4 quality-robustness corpus)
+    corpus = os.environ.get("QIC_CORPUS", "v1")
+    if corpus == "v2":
+        from globalegomocap_tpu.data.synthetic import synthetic_chunk_v2
+        mk = synthetic_chunk_v2
+    else:
+        mk = synthetic_chunk
+    chunks = [mk(100, seed=1000 * i + j)
               for i in range(5) for j in range(5)]
     chunks = [TestChunk(*(jax.device_put(jnp.asarray(a)) for a in c))
               for c in chunks]
     wins = num_windows(100) * len(chunks)
 
-    metric_keys = ["original_global_mpjpe", "optimized_global_mpjpe",
+    metric_keys = ["original_global_mpjpe", "mid_global_mpjpe",
+                   "optimized_global_mpjpe",
                    "original_camera_pos_error",
                    "optimized_camera_pos_error",
                    "aligned_original_mpjpe", "aligned_optimized_mpjpe",
                    "bone_length_aligned_original_mpjpe",
+                   "bone_length_aligned_mid_optimized_mpjpe",
                    "bone_length_aligned_optimized_mpjpe"]
 
     results = []
 
+    # stage-2 weight split matches the headline default
+    # (stage2_experiment.json: global_weight_3d=1.0 best in both corpora)
+    g3d = os.environ.get("QIC_GLOBAL_W3D", "1.0")
+    g3d = None if g3d in ("", "ref") else float(g3d)
+
     def measure(label, max_iter, crop, history=10,
-                candidates=(1.0, 0.5, 0.1, 0.02)):
+                candidates=(1.0, 0.5, 0.1, 0.02), fused_energy=False):
+        from globalegomocap_tpu.config import EnergyConfig
         cfg = OptimizeConfig(
             prior=PriorConfig(latent_dim=2048, seq_len=10),
+            energy=EnergyConfig(global_weight_3d=g3d),
             solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
                                 history_size=history, max_iter=max_iter,
-                                step_candidates=tuple(candidates)),
+                                step_candidates=tuple(candidates),
+                                fused_energy=fused_energy),
             sampling_impl="dense", fold_bn=True, dense_decoder=True,
             decoder_impl="shift", heatmap_crop=crop)
         opt = SequenceOptimizer(build_model(cfg), local_vars,
@@ -122,7 +140,13 @@ def main():
                               for k in metric_keys})
         rec = {"label": label, "max_iter": max_iter, "heatmap_crop": crop,
                "history": history,
-               "windows_per_sec": round(wins / min(ts), 1)}
+               "windows_per_sec": round(wins / min(ts), 1),
+               # crop-guard evidence: mean peak-crop mass coverage and
+               # whether the guard kept the crop or fell back to full maps
+               "crop_coverage": (None if staged.crop_coverage is None
+                                 else round(float(staged.crop_coverage),
+                                            4)),
+               "crop_active": staged.origins is not None}
         for k in metric_keys:
             rec[k] = round(float(np.mean([e[k] for e in per_chunk])), 5)
         rec["tripwires_pass"] = bool(
@@ -133,6 +157,15 @@ def main():
             < rec["aligned_original_mpjpe"]
             and rec["bone_length_aligned_optimized_mpjpe"]
             < rec["bone_length_aligned_original_mpjpe"])
+        # stage-2 value gates (VERDICT r2 #1): optimized vs the stage-1
+        # mid output — bone-aligned strict, raw-global with the
+        # decode-floor allowance (see run_headline.py tripwires)
+        rec["stage2_bone_ok"] = bool(
+            rec["bone_length_aligned_optimized_mpjpe"]
+            <= rec["bone_length_aligned_mid_optimized_mpjpe"] * 1.01)
+        rec["stage2_raw_ok"] = bool(
+            rec["optimized_global_mpjpe"]
+            <= rec["mid_global_mpjpe"] * 1.03)
         results.append(rec)
         print(json.dumps(rec), flush=True)
         suffix = os.environ.get("QIC_ONLY", "")
@@ -142,6 +175,21 @@ def main():
             json.dump(results, f, indent=1)
 
     only = os.environ.get("QIC_ONLY", "")
+    if only == "v2":
+        # re-validate the round-2 defaults on the v2 corpus (+ the fused
+        # mega-kernel path at the production operating point)
+        measure("v2_iter15_crop8_m5_K2", 15, 8, history=5,
+                candidates=(1.0, 0.1))
+        measure("v2_iter25_crop8_m5_K2", 25, 8, history=5,
+                candidates=(1.0, 0.1))
+        measure("v2_iter15_crop16_m5_K2", 15, 16, history=5,
+                candidates=(1.0, 0.1))
+        measure("v2_iter15_crop8_m10_K4", 15, 8, history=10)
+        measure("v2_iter15_crop0_m5_K2", 15, 0, history=5,
+                candidates=(1.0, 0.1))
+        measure("v2_iter15_crop8_m5_K2_fused", 15, 8, history=5,
+                candidates=(1.0, 0.1), fused_energy=True)
+        return
     if only == "fine":
         # sensitivity around the chosen operating point (iter15/m5/K2):
         # is the sweet spot flat or are we on an edge?
