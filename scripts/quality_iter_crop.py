@@ -47,11 +47,20 @@ def main():
     # trained-prior cache: quality A/Bs dominate wall-clock with two
     # ~8-min trainings; QIC_CACHE=dir reuses priors across runs
     cache = os.environ.get("QIC_CACHE", "/tmp/qic_priors")
-    seqs = synthetic_amass(n_sequences=10, frames_per_seq=250, seed=5)
+    # QIC_PRIOR_REGIME=v2 trains the priors on v2-statistics motion
+    # (jerky: scale 0.10, 0.5-2.5 Hz) — deployment-matched priors, the
+    # reference's real-AMASS-for-real-motion setup; default v1
+    regime = os.environ.get("QIC_PRIOR_REGIME", "v1")
+    if regime == "v2":
+        seqs = synthetic_amass(n_sequences=10, frames_per_seq=250, seed=5,
+                               motion_scale=0.10, freq_range=(0.5, 2.5))
+    else:
+        seqs = synthetic_amass(n_sequences=10, frames_per_seq=250, seed=5)
 
     def train(local_pose):
         name = "local" if local_pose else "global"
-        path = os.path.join(cache, f"{name}_{epochs}.msgpack")
+        suffix = "" if regime == "v1" else f"_{regime}"
+        path = os.path.join(cache, f"{name}_{epochs}{suffix}.msgpack")
         shape_ref = ConvVAE(latent_dim=2048, seq_len=10)
         if os.path.exists(path):
             from globalegomocap_tpu.models.checkpoint import load_msgpack
@@ -112,9 +121,11 @@ def main():
     def measure(label, max_iter, crop, history=10,
                 candidates=(1.0, 0.5, 0.1, 0.02), fused_energy=False):
         from globalegomocap_tpu.config import EnergyConfig
+        rscale = float(os.environ.get("QIC_REPROJ_SCALE", "1.0"))
         cfg = OptimizeConfig(
             prior=PriorConfig(latent_dim=2048, seq_len=10),
-            energy=EnergyConfig(global_weight_3d=g3d),
+            energy=EnergyConfig(global_weight_3d=g3d,
+                                reproj=0.01 * rscale),
             solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
                                 history_size=history, max_iter=max_iter,
                                 step_candidates=tuple(candidates),
@@ -169,6 +180,8 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
         suffix = os.environ.get("QIC_ONLY", "")
+        if regime != "v1":
+            suffix = f"{suffix}_p{regime}" if suffix else f"p{regime}"
         name = f"quality_iter_crop_{suffix}.json" if suffix \
             else "quality_iter_crop.json"
         with open(os.path.join(REPO, name), "w") as f:
@@ -189,6 +202,15 @@ def main():
                 candidates=(1.0, 0.1))
         measure("v2_iter15_crop8_m5_K2_fused", 15, 8, history=5,
                 candidates=(1.0, 0.1), fused_energy=True)
+        return
+    if only == "v2reproj":
+        # degraded-map robustness lever: reduced reprojection weight
+        # (distractor peaks mislead the heatmap term on the v2 maps)
+        global_results = results
+        for scale, lbl in ((1.0, "r1"), (0.25, "r025"), (0.0, "r0")):
+            os.environ["QIC_REPROJ_SCALE"] = str(scale)
+            measure(f"v2_iter15_m5_K2_reproj_{lbl}", 15, 8, history=5,
+                    candidates=(1.0, 0.1))
         return
     if only == "fine":
         # sensitivity around the chosen operating point (iter15/m5/K2):

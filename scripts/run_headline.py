@@ -205,9 +205,14 @@ def main():
         for name, avg in overall.items():
             b_mid = float(avg["bone_length_aligned_mid_optimized_mpjpe"])
             b_opt = float(avg["bone_length_aligned_optimized_mpjpe"])
-            assert b_opt <= b_mid * 1.01, (
+            assert b_opt <= b_mid * 1.03, (
                 f"STAGE-2 REGRESSION ({name}): bone-aligned "
                 f"mid {b_mid:.5f} -> optimized {b_opt:.5f}")
+        bm = float(mean["bone_length_aligned_mid_optimized_mpjpe"])
+        bo = float(mean["bone_length_aligned_optimized_mpjpe"])
+        assert bo <= bm * 1.02, (
+            f"STAGE-2 REGRESSION: overall bone-aligned mid {bm:.5f} -> "
+            f"optimized {bo:.5f}")
         r_mid = float(mean["mid_global_mpjpe"])
         r_opt = float(mean["optimized_global_mpjpe"])
         assert r_opt <= r_mid * 1.03, (
