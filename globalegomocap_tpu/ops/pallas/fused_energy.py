@@ -50,7 +50,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from globalegomocap_tpu.ops.skeleton import KINEMATIC_PARENTS
 
-BLOCK = 64          # windows per kernel instance
+# Windows per kernel instance.  The scoped-VMEM budget is 16 MB and the
+# lane dim L=150 pads to 256, so the double-buffered crop blocks
+# (BLOCK, 64, 150->256) plus ~30 (BLOCK, 150->256) intermediates hit
+# 34 MB at BLOCK=64 (measured compile OOM); 16 fits with headroom.
+BLOCK = 16
 _EPS = 1e-9         # fisheye ||xy|| guard (ops/fisheye.py world2camera)
 
 
