@@ -203,6 +203,17 @@ def main():
         measure("v2_iter15_crop8_m5_K2_fused", 15, 8, history=5,
                 candidates=(1.0, 0.1), fused_energy=True)
         return
+    if only == "fused":
+        # the mega-kernel path vs the XLA path at the production operating
+        # point: same config, quality must match (fused_ab.json measured
+        # +49% synced / +73% pipelined throughput)
+        measure("iter15_crop8_m5_K2_xla", 15, 8, history=5,
+                candidates=(1.0, 0.1))
+        measure("iter15_crop8_m5_K2_fused", 15, 8, history=5,
+                candidates=(1.0, 0.1), fused_energy=True)
+        measure("iter15_crop16_m5_K2_fused", 15, 16, history=5,
+                candidates=(1.0, 0.1), fused_energy=True)
+        return
     if only == "v2reproj":
         # degraded-map robustness lever: reduced reprojection weight
         # (distractor peaks mislead the heatmap term on the v2 maps)
