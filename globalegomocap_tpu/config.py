@@ -66,8 +66,14 @@ class SolverConfig:
     # analytic gradient in ONE Pallas kernel per objective eval
     # (ops/pallas/fused_energy.py), via the explicitly-batched solver.
     # Requires lbfgs_fixed + reproj + heatmap_crop + f32 maps; other
-    # configurations fall back to the XLA path.
+    # configurations fall back to the XLA path.  Stages the kernel cannot
+    # serve (e.g. the no-reproj global stage) still run the explicitly-
+    # batched solver with the XLA energy.
     fused_energy: bool = False
+    # fixed solver: run the explicitly-batched solver with the XLA energy
+    # (no Pallas kernel) — the solver-restructuring share of the fused
+    # path, available for any stage/sampling configuration
+    batched_solver: bool = False
 
 
 @dataclass(frozen=True)

@@ -153,9 +153,12 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
         decode = jax.checkpoint(decode)
 
     s = cfg.solver
-    if (s.method == "lbfgs_fixed" and s.fused_energy and use_reproj
-            and origins is not None and smoothed is None
-            and float(cfg.energy.overlap_consistency) == 0.0
+    use_batched = (s.method == "lbfgs_fixed"
+                   and (s.fused_energy or s.batched_solver)
+                   and smoothed is None
+                   and float(cfg.energy.overlap_consistency) == 0.0)
+    if (use_batched and s.fused_energy and use_reproj
+            and origins is not None
             and cfg.heatmap_dtype == "float32"):
         # MEGA-KERNEL PATH: the whole post-decode energy (value + analytic
         # grad) is ONE Pallas kernel per eval; the solver runs explicitly
@@ -193,6 +196,41 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
                 return fused_stage_energy(
                     pose_rt, anchor_t, crops_cm, f_ox, f_oy, bone_t, ctx,
                     t, 15, kk, full_hw, hg.crop_offset, hg.half_extent)
+            vals, pull = jax.vjp(batch_energy, z3)
+            (gz,) = pull(jnp.ones_like(vals))
+            return vals, gz
+
+        res = lbfgs_minimize_fixed_batched(
+            vg_batch, mu, max_iter=s.max_iter,
+            history_size=s.history_size, lr=s.lr,
+            step_candidates=tuple(s.step_candidates))
+        return decode_batch(res.x)
+
+    if use_batched:
+        # explicitly-batched solver with the XLA energy: the solver-
+        # restructuring share of the fused path, for stages the kernel
+        # cannot serve (no-reproj global stage, full maps, bf16 maps)
+        from globalegomocap_tpu.optimize.lbfgs import (
+            lbfgs_minimize_fixed_batched)
+        latent = mu.shape[-1]
+        ax_o = 0 if origins is not None else None
+
+        def window_energy(pose, anchor, heat, bl, org):
+            return total_energy_from_pose(
+                pose, anchor, bl, heat, camera, weights, use_reproj,
+                sampling_impl=cfg.sampling_impl, origins=org,
+                full_hw=full_hw)
+
+        def vg_batch(z3):
+            def batch_energy(z3_):
+                rr, bb = z3_.shape[0], z3_.shape[1]
+                pose = decode_batch(z3_.reshape(rr * bb, latent)).astype(
+                    jnp.float32)
+                poses = pose.reshape(rr, bb, t, 15, 3)
+                return jax.vmap(
+                    lambda pr: jax.vmap(
+                        window_energy, in_axes=(0, 0, 0, 0, ax_o))(
+                        pr, init_pose, heatmaps, mean_bl, origins))(poses)
             vals, pull = jax.vjp(batch_energy, z3)
             (gz,) = pull(jnp.ones_like(vals))
             return vals, gz

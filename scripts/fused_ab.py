@@ -57,9 +57,11 @@ def main():
 
     out = {"chunks": n_chunks, "windows": wins}
     results = {}
-    for label, fused in (("xla", False), ("fused_kernel", True)):
-        cfg = replace(base, solver=replace(base.solver,
-                                           fused_energy=fused))
+    arms = (("xla", {}),
+            ("batched_solver", {"batched_solver": True}),
+            ("fused_kernel", {"fused_energy": True}))
+    for label, overrides in arms:
+        cfg = replace(base, solver=replace(base.solver, **overrides))
         opt = SequenceOptimizer(model, v1, v2, cfg)
         staged = opt.stage(chunks)
         t0 = time.perf_counter()

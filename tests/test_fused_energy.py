@@ -202,3 +202,40 @@ def test_pipeline_fused_energy_end_to_end():
     err_b = np.linalg.norm(b_mid - true_local[:b_mid.shape[0]],
                            axis=-1).mean()
     assert abs(err_a - err_b) < 0.05 * max(err_a, 1e-6), (err_a, err_b)
+
+
+def test_pipeline_batched_solver_end_to_end():
+    """solver.batched_solver=True (explicitly-batched solver + XLA
+    energy, BOTH stages) reaches the same solution quality as the vmapped
+    path."""
+    from dataclasses import replace
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, PriorConfig, SolverConfig)
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model)
+
+    base = OptimizeConfig(
+        prior=PriorConfig(latent_dim=16, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=6,
+                            history_size=5, fused_probes=True,
+                            step_candidates=(1.0, 0.1)),
+        sampling_impl="dense", heatmap_crop=8, fold_bn=True,
+        dense_decoder=True, decoder_impl="shift")
+    batched = replace(base,
+                      solver=replace(base.solver, batched_solver=True))
+    model = build_model(base)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    chunk = synthetic_chunk(26, seed=13)
+
+    res_a = SequenceOptimizer(model, v, v, base).optimize_chunk(chunk)
+    res_b = SequenceOptimizer(model, v, v, batched).optimize_chunk(chunk)
+    assert np.isfinite(np.asarray(res_b.optimized)).all()
+    true_local = np.asarray(jnp.asarray(chunk.estimated_local))
+
+    def err(r):
+        m = np.asarray(r.mid_local)
+        return np.linalg.norm(m - true_local[:m.shape[0]], axis=-1).mean()
+
+    assert abs(err(res_a) - err(res_b)) < 0.05 * max(err(res_a), 1e-6)
