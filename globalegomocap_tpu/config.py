@@ -74,6 +74,10 @@ class SolverConfig:
     # (no Pallas kernel) — the solver-restructuring share of the fused
     # path, available for any stage/sampling configuration
     batched_solver: bool = False
+    # with fused_energy: ALSO fuse the conv-decoder chain into the kernel
+    # (ops/pallas/fused_decode_energy.py) — one objective eval becomes
+    # one XLA latent matmul + ONE kernel + one transpose matmul
+    fused_decode: bool = False
 
 
 @dataclass(frozen=True)

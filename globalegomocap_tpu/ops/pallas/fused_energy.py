@@ -102,9 +102,15 @@ def _difference_matrix(t: int, j: int) -> np.ndarray:
     return a
 
 
-def _kernel(pose_ref, anchor_ref, crops_ref, ox_ref, oy_ref, bone_ref,
-            amat_ref, w_ref, poly_ref, e_ref, g_ref, *, t, j, k, sx, sy,
-            crop_offset):
+def _energy_core(px_, py_, pz_, anchor_xyz, get_cell, ox, oy, bone,
+                 amat, w_ref, poly_ref, *, t, j, k, sx, sy, crop_offset):
+    """Shared energy value + pose-gradient math on (B, L) arrays.
+
+    Used by both the post-decode kernel (`_kernel`) and the full
+    decode+energy kernel (ops/pallas/fused_decode_energy.py).
+    get_cell(cell) -> (B, L) crop values for one of the k*k cells.
+    Returns (e (B, 1), gx, gy, gz) each (B, L).
+    """
     L = t * j
     w3d = w_ref[0, 0]
     w_sm = w_ref[0, 1]
@@ -113,10 +119,7 @@ def _kernel(pose_ref, anchor_ref, crops_ref, ox_ref, oy_ref, bone_ref,
     w_rep = w_ref[0, 4]
     cx = w_ref[0, 5]
     cy = w_ref[0, 6]
-
-    px_ = pose_ref[:, 0, :]
-    py_ = pose_ref[:, 1, :]
-    pz_ = pose_ref[:, 2, :]
+    ax_, ay_, az_ = anchor_xyz
 
     # ---- fisheye projection with hand-derived partials ------------------
     # (reference math: FishEyeCalibrated.py:96-129; ops/fisheye.world2camera)
@@ -136,8 +139,8 @@ def _kernel(pose_ref, anchor_ref, crops_ref, ox_ref, oy_ref, bone_ref,
     for i in range(npoly - 1, 0, -1):
         drho = drho * theta + poly_ref[0, i] * float(i)
     inv = rho * inv_ns
-    ix = ((px_ * inv + cx) - crop_offset) * sx - ox_ref[:, :]
-    iy = (py_ * inv + cy) * sy - oy_ref[:, :]
+    ix = ((px_ * inv + cx) - crop_offset) * sx - ox
+    iy = (py_ * inv + cy) * sy - oy
 
     ok = n > _EPS                       # clamp region: ns constant there
     dns_dx = jnp.where(ok, px_ * inv_ns, 0.0)
@@ -172,7 +175,7 @@ def _kernel(pose_ref, anchor_ref, crops_ref, ox_ref, oy_ref, bone_ref,
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ay))
         dwx = jnp.where(jnp.abs(ax) < 1.0, -jnp.sign(ax), 0.0)
         dwy = jnp.where(jnp.abs(ay) < 1.0, -jnp.sign(ay), 0.0)
-        c = crops_ref[:, cell, :]
+        c = get_cell(cell)
         s = s + c * wx * wy
         ds_dix = ds_dix + c * dwx * wy
         ds_diy = ds_diy + c * wx * dwy
@@ -183,9 +186,9 @@ def _kernel(pose_ref, anchor_ref, crops_ref, ox_ref, oy_ref, bone_ref,
     gz_rep = -w_rep * (ds_dix * sx * dPx_dz + ds_diy * sy * dPy_dz)
 
     # ---- pose-space terms ----------------------------------------------
-    dx3 = px_ - anchor_ref[:, 0, :]
-    dy3 = py_ - anchor_ref[:, 1, :]
-    dz3 = pz_ - anchor_ref[:, 2, :]
+    dx3 = px_ - ax_
+    dy3 = py_ - ay_
+    dz3 = pz_ - az_
     e_3d = jnp.sum(dx3 * dx3 + dy3 * dy3 + dz3 * dz3, axis=-1,
                    keepdims=True)
 
@@ -206,7 +209,6 @@ def _kernel(pose_ref, anchor_ref, crops_ref, ox_ref, oy_ref, bone_ref,
                 + jnp.concatenate([z2_, a], axis=-1))
 
     # bone lengths via the (L, L) difference matrix on the MXU
-    amat = amat_ref[...]
     dbx = jax.lax.dot_general(px_, amat, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dby = jax.lax.dot_general(py_, amat, (((1,), (1,)), ((), ())),
@@ -216,7 +218,7 @@ def _kernel(pose_ref, anchor_ref, crops_ref, ox_ref, oy_ref, bone_ref,
     sq = dbx * dbx + dby * dby + dbz * dbz
     nz = sq > 0.0
     bl = jnp.sqrt(jnp.where(nz, sq, 1.0)) * nz  # zero-safe (ops/skeleton)
-    diff_b = bl - bone_ref[:, :]
+    diff_b = bl - bone
     e_bone = jnp.sum(diff_b * diff_b, axis=-1, keepdims=True)
     r = jnp.where(nz, 2.0 * diff_b / jnp.where(nz, bl, 1.0), 0.0)
 
@@ -227,18 +229,31 @@ def _kernel(pose_ref, anchor_ref, crops_ref, ox_ref, oy_ref, bone_ref,
     e_vae = jnp.sum(px_ * px_ + py_ * py_ + pz_ * pz_, axis=-1,
                     keepdims=True)
 
-    e_ref[...] = (w3d * e_3d + w_sm * e_acc + w_bone * e_bone
-                  + w_vae * e_vae + w_rep * e_rep)
+    e = (w3d * e_3d + w_sm * e_acc + w_bone * e_bone
+         + w_vae * e_vae + w_rep * e_rep)
+    gx = (2.0 * w3d * dx3 + w_sm * acc_t(2.0 * accx)
+          + w_bone * bone_grad(dbx) + 2.0 * w_vae * px_ + gx_rep)
+    gy = (2.0 * w3d * dy3 + w_sm * acc_t(2.0 * accy)
+          + w_bone * bone_grad(dby) + 2.0 * w_vae * py_ + gy_rep)
+    gz = (2.0 * w3d * dz3 + w_sm * acc_t(2.0 * accz)
+          + w_bone * bone_grad(dbz) + 2.0 * w_vae * pz_ + gz_rep)
+    return e, gx, gy, gz
 
-    g_ref[:, 0, :] = (2.0 * w3d * dx3 + w_sm * acc_t(2.0 * accx)
-                      + w_bone * bone_grad(dbx) + 2.0 * w_vae * px_
-                      + gx_rep)
-    g_ref[:, 1, :] = (2.0 * w3d * dy3 + w_sm * acc_t(2.0 * accy)
-                      + w_bone * bone_grad(dby) + 2.0 * w_vae * py_
-                      + gy_rep)
-    g_ref[:, 2, :] = (2.0 * w3d * dz3 + w_sm * acc_t(2.0 * accz)
-                      + w_bone * bone_grad(dbz) + 2.0 * w_vae * pz_
-                      + gz_rep)
+
+def _kernel(pose_ref, anchor_ref, crops_ref, ox_ref, oy_ref, bone_ref,
+            amat_ref, w_ref, poly_ref, e_ref, g_ref, *, t, j, k, sx, sy,
+            crop_offset):
+    e, gx, gy, gz = _energy_core(
+        pose_ref[:, 0, :], pose_ref[:, 1, :], pose_ref[:, 2, :],
+        (anchor_ref[:, 0, :], anchor_ref[:, 1, :], anchor_ref[:, 2, :]),
+        lambda cell: crops_ref[:, cell, :],
+        ox_ref[:, :], oy_ref[:, :], bone_ref[:, :], amat_ref[...],
+        w_ref, poly_ref, t=t, j=j, k=k, sx=sx, sy=sy,
+        crop_offset=crop_offset)
+    e_ref[...] = e
+    g_ref[:, 0, :] = gx
+    g_ref[:, 1, :] = gy
+    g_ref[:, 2, :] = gz
 
 
 def _energy_and_grad(pose_rt, anchor_t, crops, ox, oy, bone, wvec, poly,

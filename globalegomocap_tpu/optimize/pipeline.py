@@ -185,20 +185,55 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
         hg = cfg.heatmap
         latent = mu.shape[-1]
 
-        def vg_batch(z3):
-            def batch_energy(z3_):
-                rr, bb = z3_.shape[0], z3_.shape[1]
-                pose = decode_batch(z3_.reshape(rr * bb, latent)).astype(
-                    jnp.float32)
-                pose_rt = jnp.moveaxis(
-                    pose.reshape(rr * bb, L, 3), -1, 1
-                ).reshape(rr, bb, 3, L)
-                return fused_stage_energy(
-                    pose_rt, anchor_t, crops_cm, f_ox, f_oy, bone_t, ctx,
-                    t, 15, kk, full_hw, hg.crop_offset, hg.half_extent)
-            vals, pull = jax.vjp(batch_energy, z3)
-            (gz,) = pull(jnp.ones_like(vals))
-            return vals, gz
+        if s.fused_decode:
+            # v2: the conv chain joins the kernel; only the first dense
+            # stays in XLA (42 MB of weights > scoped VMEM)
+            from globalegomocap_tpu.models.fold_bn import fold_batchnorm
+            from globalegomocap_tpu.ops.pallas.fused_decode_energy import (
+                fused_decode_stage_energy)
+            fv = (fold_batchnorm(variables)
+                  if variables.get("batch_stats") else variables)
+            prm = fv["params"]
+            first_w = prm["decoder_input"]["kernel"].astype(jnp.float32)
+            first_b = prm["decoder_input"]["bias"].astype(jnp.float32)
+            n_dec = len(model.hidden_dims) - 1
+            names = [f"dec_{i}" for i in range(n_dec)] + ["final_block",
+                                                          "final_conv"]
+            dec_layers = []
+            for nme in names:
+                node = (prm[nme]["conv"] if "conv" in prm.get(nme, {})
+                        else prm[nme])
+                dec_layers.append((node["kernel"], node["bias"]))
+            c0 = model.hidden_dims[-1]
+
+            def vg_batch(z3):
+                def batch_energy(z3_):
+                    rr, bb = z3_.shape[0], z3_.shape[1]
+                    h0 = (z3_.reshape(rr * bb, latent) @ first_w
+                          + first_b).reshape(rr, bb, t, c0)
+                    return fused_decode_stage_energy(
+                        h0, dec_layers, anchor_t, crops_cm, f_ox, f_oy,
+                        bone_t, ctx, t, 15, kk, full_hw, hg.crop_offset,
+                        hg.half_extent)
+                vals, pull = jax.vjp(batch_energy, z3)
+                (gz,) = pull(jnp.ones_like(vals))
+                return vals, gz
+        else:
+            def vg_batch(z3):
+                def batch_energy(z3_):
+                    rr, bb = z3_.shape[0], z3_.shape[1]
+                    pose = decode_batch(
+                        z3_.reshape(rr * bb, latent)).astype(jnp.float32)
+                    pose_rt = jnp.moveaxis(
+                        pose.reshape(rr * bb, L, 3), -1, 1
+                    ).reshape(rr, bb, 3, L)
+                    return fused_stage_energy(
+                        pose_rt, anchor_t, crops_cm, f_ox, f_oy, bone_t,
+                        ctx, t, 15, kk, full_hw, hg.crop_offset,
+                        hg.half_extent)
+                vals, pull = jax.vjp(batch_energy, z3)
+                (gz,) = pull(jnp.ones_like(vals))
+                return vals, gz
 
         res = lbfgs_minimize_fixed_batched(
             vg_batch, mu, max_iter=s.max_iter,

@@ -59,7 +59,9 @@ def main():
     results = {}
     arms = (("xla", {}),
             ("batched_solver", {"batched_solver": True}),
-            ("fused_kernel", {"fused_energy": True}))
+            ("fused_kernel", {"fused_energy": True}),
+            ("fused_decode", {"fused_energy": True,
+                              "fused_decode": True}))
     for label, overrides in arms:
         cfg = replace(base, solver=replace(base.solver, **overrides))
         opt = SequenceOptimizer(model, v1, v2, cfg)
@@ -91,10 +93,11 @@ def main():
         }
         print(label, results[label], flush=True)
     out["results"] = results
-    a, b = (results["xla"]["windows_per_sec"],
-            results["fused_kernel"]["windows_per_sec"])
-    out["speedup"] = round(b / a, 3)
-    print("speedup (fused/xla):", out["speedup"], flush=True)
+    a = results["xla"]["windows_per_sec"]
+    for lbl in ("batched_solver", "fused_kernel", "fused_decode"):
+        if lbl in results:
+            out[f"speedup_{lbl}"] = round(
+                results[lbl]["windows_per_sec"] / a, 3)
     with open(os.path.join(REPO, "fused_ab.json"), "w") as f:
         json.dump(out, f, indent=1)
 

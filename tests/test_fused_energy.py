@@ -239,3 +239,98 @@ def test_pipeline_batched_solver_end_to_end():
         return np.linalg.norm(m - true_local[:m.shape[0]], axis=-1).mean()
 
     assert abs(err(res_a) - err(res_b)) < 0.05 * max(err(res_a), 1e-6)
+
+
+def _tiny_model_and_layers():
+    from globalegomocap_tpu.models.conv_vae import ConvVAE
+    from globalegomocap_tpu.models.fold_bn import fold_batchnorm
+    model = ConvVAE(latent_dim=16, seq_len=10,
+                    hidden_dims=(8, 8, 16, 16, 32))
+    v = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 10, 45)), False)
+    fv = fold_batchnorm(v)
+    prm = fv["params"]
+    first_w = prm["decoder_input"]["kernel"].astype(jnp.float32)
+    first_b = prm["decoder_input"]["bias"].astype(jnp.float32)
+    names = [f"dec_{i}" for i in range(4)] + ["final_block", "final_conv"]
+    layers = []
+    for nme in names:
+        node = prm[nme]["conv"] if "conv" in prm.get(nme, {}) else prm[nme]
+        layers.append((node["kernel"], node["bias"]))
+    return model, v, first_w, first_b, layers
+
+
+def test_fused_decode_energy_matches_xla():
+    """The FULL kernel (conv chain + energy) matches shift-decoder +
+    XLA energy in value and z-gradient."""
+    from globalegomocap_tpu.models.dense_decoder import make_shift_decoder
+    from globalegomocap_tpu.ops.pallas.fused_decode_energy import (
+        fused_decode_stage_energy)
+
+    camera = fisheye.default_camera("egosyn")
+    w = EnergyWeights.create(weight_3d=0.01, smooth=0.001,
+                             bone_length=0.02, vae=0.003, reproj=0.01)
+    model, v, first_w, first_b, layers = _tiny_model_and_layers()
+    b = 5
+    rng = np.random.default_rng(6)
+    z = jnp.asarray(rng.normal(size=(b, 16)), jnp.float32)
+    _, anchor, crops, origins, bone = _random_inputs(b, seed=7)
+    layout = _to_kernel_layout(anchor, anchor, crops, origins, bone)
+    _, anchor_t, crops_cm, ox, oy, bone_t = layout
+    ctx = _ctx(camera, w)
+    c0 = 32
+
+    def kernel_e(z_):
+        h0 = (z_ @ first_w + first_b).reshape(1, b, 10, c0)
+        return jnp.sum(fused_decode_stage_energy(
+            h0, layers, anchor_t, crops_cm, ox, oy, bone_t, ctx,
+            T, J, K, FULL_HW, 128.0, 512.0))
+
+    decode = make_shift_decoder(model, v)
+
+    def xla_e(z_):
+        pose = decode(z_).astype(jnp.float32)
+        return jnp.sum(_xla_energies(pose, anchor, crops, origins, bone,
+                                     camera, w))
+
+    np.testing.assert_allclose(float(kernel_e(z)), float(xla_e(z)),
+                               rtol=2e-5)
+    g_k = jax.grad(kernel_e)(z)
+    g_x = jax.grad(xla_e)(z)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                               rtol=5e-4, atol=1e-6)
+
+
+def test_pipeline_fused_decode_end_to_end():
+    """solver.fused_energy + fused_decode solves a chunk to the same
+    quality as the XLA path."""
+    from dataclasses import replace
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, PriorConfig, SolverConfig)
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model)
+
+    base = OptimizeConfig(
+        prior=PriorConfig(latent_dim=16, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=6,
+                            history_size=5, fused_probes=True,
+                            step_candidates=(1.0, 0.1)),
+        sampling_impl="dense", heatmap_crop=8, fold_bn=True,
+        dense_decoder=True, decoder_impl="shift")
+    fused2 = replace(base, solver=replace(base.solver, fused_energy=True,
+                                          fused_decode=True))
+    model = build_model(base)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    chunk = synthetic_chunk(26, seed=17)
+
+    res_a = SequenceOptimizer(model, v, v, base).optimize_chunk(chunk)
+    res_b = SequenceOptimizer(model, v, v, fused2).optimize_chunk(chunk)
+    assert np.isfinite(np.asarray(res_b.optimized)).all()
+    true_local = np.asarray(jnp.asarray(chunk.estimated_local))
+
+    def err(r):
+        m = np.asarray(r.mid_local)
+        return np.linalg.norm(m - true_local[:m.shape[0]], axis=-1).mean()
+
+    assert abs(err(res_a) - err(res_b)) < 0.05 * max(err(res_a), 1e-6)
