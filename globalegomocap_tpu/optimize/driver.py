@@ -263,6 +263,16 @@ class SequenceOptimizer:
         n_chunks = staged.n_chunks
         cfg = self._cfg_for_coverage(staged.crop_coverage)
         n_dev = len(jax.devices())
+        if n_dev > 1 and (cfg.solver.fused_energy
+                          or cfg.solver.batched_solver):
+            # the Pallas kernels are opaque custom calls the SPMD
+            # partitioner cannot split along the sharded window axis;
+            # multi-device launches use the (sharding-clean) XLA path
+            # until a shard_map wrapper exists (TODO round-4)
+            from dataclasses import replace as _rp
+            cfg = _rp(cfg, solver=_rp(cfg.solver, fused_energy=False,
+                                      batched_solver=False,
+                                      fused_decode=False))
 
         key = ("batched", mode, est.shape, n_dev, cfg.heatmap_crop,
                staged.full_hw)
