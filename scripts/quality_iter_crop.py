@@ -94,6 +94,16 @@ def main():
     if corpus == "v2":
         from globalegomocap_tpu.data.synthetic import synthetic_chunk_v2
         mk = synthetic_chunk_v2
+    elif corpus == "v2j":
+        # jitter-only cameras: the error class the optimizer CAN fix
+        # (drift is unobservable without loop closure and dominates v2's
+        # raw-global metric)
+        def mk(n, seed):
+            return synthetic_chunk(
+                n, seed,
+                cam_noise={"drift_rot": 0.0, "drift_trans": 0.0,
+                           "jitter_rot": 0.008, "jitter_trans": 0.008},
+                degrade={}, motion_scale=0.10, freq_range=(0.5, 2.5))
     else:
         mk = synthetic_chunk
     chunks = [mk(100, seed=1000 * i + j)
@@ -180,6 +190,8 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
         suffix = os.environ.get("QIC_ONLY", "")
+        if corpus == "v2j":
+            suffix = f"{suffix}_jit" if suffix else "jit"
         if regime != "v1":
             suffix = f"{suffix}_p{regime}" if suffix else f"p{regime}"
         name = f"quality_iter_crop_{suffix}.json" if suffix \
