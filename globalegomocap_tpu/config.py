@@ -179,6 +179,11 @@ class OptimizeConfig:
     # multimodal/flattened maps below the threshold fall back to full-map
     # sampling instead of silently discarding secondary modes
     heatmap_crop_min_mass: float = 0.90
+    # when the crop-mass guard trips (degraded/multimodal maps), also
+    # switch the fixed solver to the robust tier (history>=10, 4 parity
+    # line-search candidates): measured better aligned accuracy on the
+    # degraded v2 corpus at ~15% speed cost, never affects clean corpora
+    robust_tier_on_guard: bool = True
     merge: bool = True
     compute_dtype: str = "float32"
 

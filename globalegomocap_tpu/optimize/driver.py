@@ -101,11 +101,25 @@ class SequenceOptimizer:
     def _cfg_for_coverage(self, cov: float | None) -> OptimizeConfig:
         """Apply the heatmap-crop mass guard: fall back to full-map
         sampling when the peak-centered crops would discard real
-        probability mass (multimodal / occlusion-flattened maps)."""
+        probability mass (multimodal / occlusion-flattened maps).
+
+        When the guard trips and `robust_tier_on_guard` is set, the
+        solver ALSO switches to the robust tier (history 10, the 4
+        parity line-search candidates): on degraded/jerky corpora the
+        deeper search buys aligned accuracy — quality_iter_crop_v2_pv2:
+        aligned 0.03896 (m10/K4) vs 0.04162 (m5/K2) — while clean
+        corpora never trip the guard and keep the fast tier."""
         cfg = self.cfg
         if cov is not None and cov < cfg.heatmap_crop_min_mass:
+            from dataclasses import replace as _rp
             from globalegomocap_tpu.config import with_overrides
-            return with_overrides(cfg, heatmap_crop=0)
+            cfg = with_overrides(cfg, heatmap_crop=0)
+            if (cfg.robust_tier_on_guard
+                    and cfg.solver.method == "lbfgs_fixed"):
+                cfg = _rp(cfg, solver=_rp(
+                    cfg.solver, history_size=max(cfg.solver.history_size,
+                                                 10),
+                    step_candidates=(1.0, 0.5, 0.1, 0.02)))
         return cfg
 
     def _effective_cfg(self, heatmaps) -> OptimizeConfig:

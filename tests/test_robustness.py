@@ -112,3 +112,45 @@ def test_degraded_v2_solve_stays_finite(opt):
     res = opt.run(synthetic_chunk_v2(18, seed=9), with_metrics=True)
     errors = res[0]
     assert np.isfinite(float(errors["optimized_global_mpjpe"]))
+
+
+def test_crop_guard_switches_to_robust_tier():
+    """When the crop-mass guard trips (degraded maps), the effective
+    config falls back to full maps AND the robust solver tier (history
+    >= 10, 4 parity candidates); clean maps keep the fast tier."""
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, PriorConfig, SolverConfig)
+    from globalegomocap_tpu.data.synthetic import (
+        synthetic_chunk, synthetic_chunk_v2)
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model)
+
+    cfg = OptimizeConfig(
+        prior=PriorConfig(latent_dim=16, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=2,
+                            history_size=5,
+                            step_candidates=(1.0, 0.1)),
+        sampling_impl="dense", heatmap_crop=8)
+    model = build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    opt = SequenceOptimizer(model, v, v, cfg)
+
+    clean = opt._effective_cfg(synthetic_chunk(18, seed=1).heatmaps)
+    assert clean.heatmap_crop == 8
+    assert clean.solver.history_size == 5
+    assert len(clean.solver.step_candidates) == 2
+
+    degraded = opt._effective_cfg(synthetic_chunk_v2(18, seed=1).heatmaps)
+    assert degraded.heatmap_crop == 0
+    assert degraded.solver.history_size == 10
+    assert len(degraded.solver.step_candidates) == 4
+
+    # opt-out keeps the fast tier on guard
+    opt2 = SequenceOptimizer(model, v, v,
+                             replace(cfg, robust_tier_on_guard=False))
+    deg2 = opt2._effective_cfg(synthetic_chunk_v2(18, seed=1).heatmaps)
+    assert deg2.heatmap_crop == 0 and deg2.solver.history_size == 5
