@@ -83,13 +83,17 @@ def main():
             rng = jax.random.PRNGKey(9)
             st, _ = tr._epoch_step(tr.state, arr, rng)
             jax.block_until_ready(st.params)
-            ts = []
-            for _ in range(5):
-                t1 = time.perf_counter()
-                st, _ = tr._epoch_step(tr.state, arr, rng)
-                jax.block_until_ready(st.params)
-                ts.append(time.perf_counter() - t1)
-            best = min(ts)
+            # chain N epochs through the state and block ONCE: chained
+            # launches cannot reorder, so total/N is the true per-epoch
+            # wall (single timed launches mis-read through the tunnel's
+            # async dispatch — all batch sizes 'measured' 0.8 ms)
+            n_rep = 20
+            t1 = time.perf_counter()
+            s = tr.state
+            for _ in range(n_rep):
+                s, _ = tr._epoch_step(s, arr, rng)
+            jax.block_until_ready(s.params)
+            best = (time.perf_counter() - t1) / n_rep
             ca = tr._epoch_step.lower(tr.state, arr, rng).compile(
                 ).cost_analysis()
             if isinstance(ca, (list, tuple)):
