@@ -62,9 +62,11 @@ COMPACT_DIR = os.environ.get("BENCH_COMPACT_DIRECTION", "0") == "1"
 # iteration instead of three O(m*d) roll copies; identical trajectory)
 CIRCULAR_HISTORY = os.environ.get("BENCH_CIRCULAR_HISTORY", "0") == "1"
 # fixed solver: the whole post-decode energy (value + analytic grad) as
-# ONE Pallas kernel per eval (ops/pallas/fused_energy.py); A/B:
-# fused_ab.json
-FUSED_ENERGY = os.environ.get("BENCH_FUSED_ENERGY", "0") == "1"
+# ONE Pallas kernel per eval (ops/pallas/fused_energy.py) — DEFAULT ON:
+# +49% synced / +73% pipelined at the production point (fused_ab.json),
+# quality-verified with trained priors (quality_iter_crop_fused.json:
+# all tripwires + stage-2 gates pass, raw-global 0.03287 vs 0.0335 XLA)
+FUSED_ENERGY = os.environ.get("BENCH_FUSED_ENERGY", "1") == "1"
 # L-BFGS history size (the two-loop recursion and the history rolls scale
 # with it): m=5 wins once launch costs stopped masking it — 4695 vs 3958
 # w/s at batch 40 (perf_levers_r2e.json) — and passes every quality

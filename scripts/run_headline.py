@@ -119,12 +119,14 @@ def main():
     # config (raw 0.07740 -> 0.07604).
     from globalegomocap_tpu.config import EnergyConfig
     g3d = float(os.environ.get("HEADLINE_GLOBAL_W3D", "1.0"))
+    fused = os.environ.get("HEADLINE_FUSED", "1") == "1"
     cfg = OptimizeConfig(prior=PriorConfig(latent_dim=2048, seq_len=10),
                          energy=EnergyConfig(global_weight_3d=g3d),
                          solver=SolverConfig(method="lbfgs_fixed",
                                              fused_probes=True,
                                              history_size=5,
                                              max_iter=15,
+                                             fused_energy=fused,
                                              step_candidates=(1.0, 0.1)),
                          sampling_impl="dense", heatmap_crop=16,
                          fold_bn=True, dense_decoder=True,
