@@ -21,9 +21,10 @@ output h0 and returns (energy, dE/dh0), so one objective eval is:
 one XLA matmul + ONE kernel + one XLA transpose-matmul for dz.
 
 The decoded-pose channel order (t, joint*3+coord) is rearranged to the
-energy core's coordinate-major (3, T*J) layout by a constant (45, 45)
-permutation matmul + an in-kernel minor-dims reshape (and their exact
-transposes on the way back).
+energy core's coordinate-major (3, T*J) layout by constant selector
+matmuls + masked sublane reductions (and their exact transposes on the
+way back) — see `_coord_selectors` for why Mosaic forbids the direct
+reshape/concat forms.
 """
 
 from __future__ import annotations
@@ -43,13 +44,32 @@ from globalegomocap_tpu.ops.pallas.fused_energy import (
 BLOCK = 16   # windows per kernel instance (VMEM-bounded, see fused_energy)
 
 
-def _pose_perm(j: int = 15) -> np.ndarray:
-    """(3j, 3j) permutation P with (pose45 @ P) ordered [x(15), y, z]."""
-    p = np.zeros((3 * j, 3 * j), dtype=np.float32)
-    for jj in range(j):
-        for c in range(3):
-            p[jj * 3 + c, c * j + jj] = 1.0
-    return p
+def _coord_selectors(t: int, j: int):
+    """Selector constants for the channel→coordinate-major rearrangement.
+
+    Mosaic cannot shape-cast the (T, 3j) minor dims of the decoded pose
+    into one L=T*J lane dim ("unsupported shape cast"), and lane-slice
+    concatenation trips its sublane-offset rule — so the flatten is
+    expressed as pure matmul + masked sublane reduction instead:
+
+        px[b, l] = sum_tt (h @ SX)[b, tt, l] * F[tt, l]
+
+    SX/SY/SZ (3j, L):  SC[c, l] = 1 iff c == (l % j)*3 + coord — places
+    joint jj's coord channel at EVERY frame's lane tt*j+jj; F (t, L):
+    F[tt, l] = 1 iff tt == l // j — keeps only the right frame's row.
+    The decoder channel permutation is folded into the selectors, and the
+    backward is the exact transpose (broadcast over sublanes, contract
+    lanes).  Cost: 6 tiny (blk*T, 3j)x(3j, L) MXU contractions/eval —
+    noise next to the conv chain."""
+    L = t * j
+    sels = np.zeros((3, 3 * j, L), dtype=np.float32)
+    fmask = np.zeros((t, L), dtype=np.float32)
+    for l in range(L):
+        jj = l % j
+        for coord in range(3):
+            sels[coord, jj * 3 + coord, l] = 1.0
+        fmask[l // j, l] = 1.0
+    return sels, fmask
 
 
 def _dg(h, w):
@@ -92,7 +112,8 @@ def _make_kernel(n_layers, t, j, k, sx, sy, crop_offset):
         h0_ref = refs[0]
         layer_refs = refs[1:1 + 2 * n_layers]
         (anchor_ref, crops_ref, ox_ref, oy_ref, bone_ref, amat_ref,
-         pperm_ref, w_ref, poly_ref, e_ref, gh0_ref) = refs[1 + 2 * n_layers:]
+         sel_ref, f_ref, w_ref, poly_ref, e_ref, gh0_ref) \
+            = refs[1 + 2 * n_layers:]
 
         # ---- decoder conv chain forward, saving backward context -------
         h = h0_ref[...]                       # (blk, T, C0)
@@ -110,12 +131,12 @@ def _make_kernel(n_layers, t, j, k, sx, sy, crop_offset):
                 h = pre                        # (blk, T, 3j)
 
         # ---- rearrange to coordinate-major (blk, L) ---------------------
-        blk = h.shape[0]
-        L = t * j
-        pc = _dg(h, pperm_ref[...])            # (blk, T, 3j) -> [x|y|z]
-        px_ = pc[:, :, :j].reshape(blk, L)
-        py_ = pc[:, :, j:2 * j].reshape(blk, L)
-        pz_ = pc[:, :, 2 * j:].reshape(blk, L)
+        # selector matmul + masked sublane reduction (see _coord_selectors
+        # for why Mosaic forbids the direct reshape/concat forms)
+        fm = f_ref[...][None]                  # (1, T, L)
+        px_ = jnp.sum(_dg(h, sel_ref[0]) * fm, axis=1)   # (blk, L)
+        py_ = jnp.sum(_dg(h, sel_ref[1]) * fm, axis=1)
+        pz_ = jnp.sum(_dg(h, sel_ref[2]) * fm, axis=1)
 
         e, gx, gy, gz = _energy_core(
             px_, py_, pz_,
@@ -128,10 +149,11 @@ def _make_kernel(n_layers, t, j, k, sx, sy, crop_offset):
         e_ref[...] = e
 
         # ---- backward: energy grad -> channel order -> conv chain ------
-        gc = jnp.concatenate([gx.reshape(blk, t, j),
-                              gy.reshape(blk, t, j),
-                              gz.reshape(blk, t, j)], axis=-1)
-        g = _dg_t(gc, pperm_ref[...])          # (blk, T, 3j), P^T
+        # exact transpose of the flatten: broadcast each (blk, L) grad
+        # over sublanes, frame-mask, contract lanes with the selector
+        g = (_dg_t(gx[:, None, :] * fm, sel_ref[0])
+             + _dg_t(gy[:, None, :] * fm, sel_ref[1])
+             + _dg_t(gz[:, None, :] * fm, sel_ref[2]))  # (blk, T, 3j)
         for li in range(n_layers - 1, -1, -1):
             _, mask = saved[li]
             if mask is not None:
@@ -166,7 +188,9 @@ def _decode_energy_and_grad(h0_rt, layers, anchor_t, crops, ox, oy, bone,
     n_layers = len(layers)
     h0_flat = h0_rt.reshape(r * bp, tt, c0)
     amat = jnp.asarray(_difference_matrix(t, j))
-    pperm = jnp.asarray(_pose_perm(j))
+    sels_np, fmask_np = _coord_selectors(t, j)
+    sels = jnp.asarray(sels_np)
+    fmask = jnp.asarray(fmask_np)
 
     layer_args = []
     layer_specs = []
@@ -193,7 +217,8 @@ def _decode_energy_and_grad(h0_rt, layers, anchor_t, crops, ox, oy, bone,
             pl.BlockSpec((blk, t * j), lambda rr, i: (i, 0)),
             pl.BlockSpec((blk, t * j), lambda rr, i: (i, 0)),
             pl.BlockSpec((t * j, t * j), lambda rr, i: (0, 0)),
-            pl.BlockSpec((3 * j, 3 * j), lambda rr, i: (0, 0)),
+            pl.BlockSpec((3, 3 * j, t * j), lambda rr, i: (0, 0, 0)),
+            pl.BlockSpec((t, t * j), lambda rr, i: (0, 0)),
             pl.BlockSpec((1, 8), lambda rr, i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, poly.shape[-1]), lambda rr, i: (0, 0),
@@ -206,8 +231,8 @@ def _decode_energy_and_grad(h0_rt, layers, anchor_t, crops, ox, oy, bone,
         out_shape=(jax.ShapeDtypeStruct((r * bp, 1), jnp.float32),
                    jax.ShapeDtypeStruct((r * bp, tt, c0), jnp.float32)),
         interpret=_interpret(),
-    )(h0_flat, *layer_args, anchor_t, crops, ox, oy, bone, amat, pperm,
-      wvec, poly)
+    )(h0_flat, *layer_args, anchor_t, crops, ox, oy, bone, amat, sels,
+      fmask, wvec, poly)
     e = e.reshape(r, bp)[:, :b]
     gh0 = gh0.reshape(r, bp, tt, c0)[:, :b]
     return e, gh0

@@ -62,6 +62,10 @@ def main():
             ("fused_kernel", {"fused_energy": True}),
             ("fused_decode", {"fused_energy": True,
                               "fused_decode": True}))
+    sel = os.environ.get("AB_ARMS")       # e.g. "fused_kernel,fused_decode"
+    if sel:
+        want = set(sel.split(","))
+        arms = tuple(a for a in arms if a[0] in want)
     for label, overrides in arms:
         cfg = replace(base, solver=replace(base.solver, **overrides))
         opt = SequenceOptimizer(model, v1, v2, cfg)
@@ -93,12 +97,14 @@ def main():
         }
         print(label, results[label], flush=True)
     out["results"] = results
-    a = results["xla"]["windows_per_sec"]
-    for lbl in ("batched_solver", "fused_kernel", "fused_decode"):
-        if lbl in results:
-            out[f"speedup_{lbl}"] = round(
-                results[lbl]["windows_per_sec"] / a, 3)
-    with open(os.path.join(REPO, "fused_ab.json"), "w") as f:
+    if "xla" in results:
+        a = results["xla"]["windows_per_sec"]
+        for lbl in ("batched_solver", "fused_kernel", "fused_decode"):
+            if lbl in results:
+                out[f"speedup_{lbl}"] = round(
+                    results[lbl]["windows_per_sec"] / a, 3)
+    dest = os.environ.get("AB_OUT", os.path.join(REPO, "fused_ab.json"))
+    with open(dest, "w") as f:
         json.dump(out, f, indent=1)
 
 
