@@ -277,16 +277,8 @@ class SequenceOptimizer:
         n_chunks = staged.n_chunks
         cfg = self._cfg_for_coverage(staged.crop_coverage)
         n_dev = len(jax.devices())
-        if n_dev > 1 and (cfg.solver.fused_energy
-                          or cfg.solver.batched_solver):
-            # the Pallas kernels are opaque custom calls the SPMD
-            # partitioner cannot split along the sharded window axis;
-            # multi-device launches use the (sharding-clean) XLA path
-            # until a shard_map wrapper exists (TODO round-4)
-            from dataclasses import replace as _rp
-            cfg = _rp(cfg, solver=_rp(cfg.solver, fused_energy=False,
-                                      batched_solver=False,
-                                      fused_decode=False))
+        use_shmap = (n_dev > 1 and (cfg.solver.fused_energy
+                                    or cfg.solver.batched_solver))
 
         key = ("batched", mode, est.shape, n_dev, cfg.heatmap_crop,
                staged.full_hw)
@@ -300,7 +292,22 @@ class SequenceOptimizer:
                                    gt, self._camera, cfg, origins=org,
                                    full_hw=full_hw)
 
-            if n_dev > 1:
+            if use_shmap:
+                # The Pallas kernels are opaque custom calls the SPMD
+                # partitioner cannot split along the sharded window axis.
+                # Chunks are data-independent, so the whole pipeline runs
+                # per-shard under shard_map (no collectives): each device
+                # solves its chunk slice with the fused kernel locally.
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+                mesh = make_mesh()
+                org_spec = P("dp") if staged.origins is not None else P()
+                self._jit_cache[key] = jax.jit(shard_map(
+                    run, mesh=mesh,
+                    in_specs=(P(), P(), P("dp"), P("dp"), P("dp"),
+                              P("dp"), org_spec),
+                    out_specs=P("dp"), check_rep=False))
+            elif n_dev > 1:
                 mesh = make_mesh()
                 repl = replicate(mesh)
                 sh = shard_batch(mesh)

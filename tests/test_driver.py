@@ -141,6 +141,38 @@ def test_staged_precrop_matches_in_program_crop():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_fused_shard_map_matches_per_chunk():
+    """With fused_energy on and >1 device, optimize_chunks_batched keeps
+    the Pallas mega-kernel by running the whole pipeline per-shard under
+    shard_map (the SPMD partitioner cannot split the opaque custom call;
+    chunks are data-independent so no collectives are needed).  Results
+    must match per-chunk single-launch fused solves, at a non-divisible
+    chunk count (C=3 padded to the 8-device mesh)."""
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    assert len(jax.devices()) == 8
+    cfg = OptimizeConfig(
+        prior=PriorConfig(latent_dim=16, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=3,
+                            history_size=3, fused_probes=True,
+                            step_candidates=(1.0, 0.1),
+                            fused_energy=True),
+        sampling_impl="dense", heatmap_crop=8, fold_bn=True,
+        dense_decoder=True, decoder_impl="shift")
+    model = build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    opt = SequenceOptimizer(model, v, v, cfg)
+    chunks = [synthetic_chunk(n_frames=26, seed=s) for s in (51, 52, 53)]
+    staged = opt.stage(chunks)
+    flat = opt.optimize_chunks_batched(staged, mode="flat")
+    assert flat.optimized.shape == (3, 26, 15, 3)
+    for i, c in enumerate(chunks):
+        single = opt.optimize_chunk(c)
+        np.testing.assert_allclose(np.asarray(flat.optimized[i]),
+                                   np.asarray(single.optimized),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_sequence_dir_batched_matches_serial(seq_dir, optimizer, capsys):
     """optimize_sequence_dir(batched=True) — one staged flat launch for
     the whole directory — must reproduce the serial per-chunk loop's
