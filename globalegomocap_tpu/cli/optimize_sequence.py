@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "clean and SLAM-noise regimes")
     p.add_argument("--global_smooth", default=None, type=float,
                    help="stage-2 smoothness weight override")
+    p.add_argument("--global_residual", default=False, type=str2bool,
+                   help="residual stage-2 parametrization: p(z) = mid + "
+                        "decode(z) - decode(z0) — exact at init (no "
+                        "decode floor); improves every metric family in "
+                        "both camera regimes (stage2_residual.json)")
     p.add_argument("--fused_energy", default=False, type=str2bool,
                    help="lbfgs_fixed: ONE Pallas kernel per objective "
                         "eval for the whole post-decode energy "
@@ -146,7 +151,8 @@ def main(argv=None):
                             overlap_consistency=args.overlap_consistency,
                             soft_smooth=args.soft_smooth,
                             global_weight_3d=args.global_weight_3d,
-                            global_smooth=args.global_smooth),
+                            global_smooth=args.global_smooth,
+                            global_residual=args.global_residual),
         prior=PriorConfig(latent_dim=args.latent_dim, seq_len=args.seq_len,
                           hidden_dims=tuple(
                               int(x) for x in args.hidden_dims.split(","))),

@@ -108,6 +108,16 @@ class EnergyConfig:
     # (stage2_experiment.json)
     global_weight_3d: float | None = None
     global_smooth: float | None = None
+    # residual parametrization of the global stage: the stage-2 output is
+    # p(z) = mid + decode(z) - decode(z0) instead of decode(z), so the
+    # stage is EXACT at its init (p(z0) = mid) and the optimization can
+    # only move away from the stage-1 result where the energy (smoothness/
+    # bone/anchor) says so.  Removes the global prior's decode floor —
+    # the reference's own stage-2 regression mode (its tripwire at
+    # optimize_whole_sequence.py:87-88 fires when re-decoding costs more
+    # than trajectory correction gains) — while corrections stay in the
+    # prior's tangent space.  No reference equivalent.
+    global_residual: bool = False
 
 
 @dataclass(frozen=True)

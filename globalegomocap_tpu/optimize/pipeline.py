@@ -82,7 +82,8 @@ def _solve(cfg: OptimizeConfig, loss, z0):
 def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
                    mean_bl, camera, weights: EnergyWeights,
                    use_reproj: bool, cfg: OptimizeConfig,
-                   origins=None, full_hw=None) -> jnp.ndarray:
+                   origins=None, full_hw=None,
+                   residual: bool = False) -> jnp.ndarray:
     """One optimization stage over a batch of windows.
 
     init_pose: (W, T, 15, 3) the stage's anchor/init poses.
@@ -152,13 +153,21 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     if cfg.solver.remat:
         decode = jax.checkpoint(decode)
 
+    offset = None
+    if residual:
+        # residual stage (EnergyConfig.global_residual): the stage output
+        # is p(z) = anchor + decode(z) - decode(z0) — exact at the init
+        # (no decode floor), corrections confined to the prior's tangent
+        # space.  The offset is a per-window constant of the solve.
+        offset = (init_pose - decode_batch(mu)).astype(jnp.float32)
+
     s = cfg.solver
     use_batched = (s.method == "lbfgs_fixed"
                    and (s.fused_energy or s.batched_solver)
                    and smoothed is None
                    and float(cfg.energy.overlap_consistency) == 0.0)
     if (use_batched and s.fused_energy and use_reproj
-            and origins is not None
+            and origins is not None and offset is None
             and cfg.heatmap_dtype == "float32"):
         # MEGA-KERNEL PATH: the whole post-decode energy (value + analytic
         # grad) is ONE Pallas kernel per eval; the solver runs explicitly
@@ -241,10 +250,55 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
             step_candidates=tuple(s.step_candidates))
         return decode_batch(res.x)
 
+    if use_batched and s.fused_energy and not use_reproj:
+        # NO-REPROJ KERNEL PATH (the global stage): the whole pose-space
+        # energy (3d/accel/bone/vae, value + analytic grad) is ONE Pallas
+        # kernel per eval — no crop buffers, so a 4x larger window block.
+        # The residual offset (if any) is an XLA elementwise add that
+        # fuses into the decode epilogue before the kernel.
+        from globalegomocap_tpu.ops.pallas.fused_energy import (
+            fused_stage_energy_noreproj)
+        from globalegomocap_tpu.optimize.lbfgs import (
+            lbfgs_minimize_fixed_batched)
+        latent = mu.shape[-1]
+        L = t * 15
+        anchor_t = jnp.moveaxis(init_pose.reshape(w, L, 3), -1, 1)
+        bone_t = jnp.tile(mean_bl, (1, t))                   # (W, L)
+        wvec = jnp.stack([
+            weights.weight_3d, weights.smooth, weights.bone_length,
+            weights.vae, weights.reproj,
+            jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+        ])[None].astype(jnp.float32)
+
+        def vg_batch(z3):
+            def batch_energy(z3_):
+                rr, bb = z3_.shape[0], z3_.shape[1]
+                pose = decode_batch(
+                    z3_.reshape(rr * bb, latent)).astype(jnp.float32)
+                poses = pose.reshape(rr, bb, t, 15, 3)
+                if offset is not None:
+                    poses = poses + offset[None]
+                pose_rt = jnp.moveaxis(
+                    poses.reshape(rr * bb, L, 3), -1, 1
+                ).reshape(rr, bb, 3, L)
+                return fused_stage_energy_noreproj(
+                    pose_rt, anchor_t, bone_t, wvec, t, 15)
+            vals, pull = jax.vjp(batch_energy, z3)
+            (gz,) = pull(jnp.ones_like(vals))
+            return vals, gz
+
+        res = lbfgs_minimize_fixed_batched(
+            vg_batch, mu, max_iter=s.max_iter,
+            history_size=s.history_size, lr=s.lr,
+            step_candidates=tuple(s.step_candidates))
+        out = decode_batch(res.x)
+        return out if offset is None else out + offset
+
     if use_batched:
         # explicitly-batched solver with the XLA energy: the solver-
         # restructuring share of the fused path, for stages the kernel
-        # cannot serve (no-reproj global stage, full maps, bf16 maps)
+        # cannot serve (full maps, bf16 maps)
         from globalegomocap_tpu.optimize.lbfgs import (
             lbfgs_minimize_fixed_batched)
         latent = mu.shape[-1]
@@ -262,6 +316,8 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
                 pose = decode_batch(z3_.reshape(rr * bb, latent)).astype(
                     jnp.float32)
                 poses = pose.reshape(rr, bb, t, 15, 3)
+                if offset is not None:
+                    poses = poses + offset[None]
                 return jax.vmap(
                     lambda pr: jax.vmap(
                         window_energy, in_axes=(0, 0, 0, 0, ax_o))(
@@ -274,15 +330,19 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
             vg_batch, mu, max_iter=s.max_iter,
             history_size=s.history_size, lr=s.lr,
             step_candidates=tuple(s.step_candidates))
-        return decode_batch(res.x)
+        out = decode_batch(res.x)
+        return out if offset is None else out + offset
 
     # vmap in_axes for the optional per-window context (None = absent)
     ax_org = 0 if origins is not None else None
     ax_sm = 0 if smoothed is not None else None
+    ax_off = 0 if offset is not None else None
 
-    def solve_one(z0, anchor, heat, bl, org, sm):
+    def solve_one(z0, anchor, heat, bl, org, sm, off):
         def loss(z):
             pose = decode(z).astype(jnp.float32)
+            if off is not None:
+                pose = pose + off
             return total_energy_from_pose(
                 pose, anchor, bl, heat, camera, weights, use_reproj,
                 sampling_impl=cfg.sampling_impl, origins=org,
@@ -307,6 +367,8 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
 
         def joint_loss(z_flat):
             poses = decode_all(z_flat)              # (W, T, 15, 3)
+            if offset is not None:
+                poses = poses + offset
             per_window = jax.vmap(
                 lambda p, a, h, b, o, s: total_energy_from_pose(
                     p, a, b, h, camera, weights, use_reproj,
@@ -320,10 +382,11 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
         z_star = _solve(cfg, joint_loss, mu.reshape(-1)).reshape(w, latent)
     else:
         z_star = jax.vmap(solve_one,
-                          in_axes=(0, 0, 0, 0, ax_org, ax_sm))(
-            mu, init_pose, heatmaps, mean_bl, origins, smoothed)
+                          in_axes=(0, 0, 0, 0, ax_org, ax_sm, ax_off))(
+            mu, init_pose, heatmaps, mean_bl, origins, smoothed, offset)
 
-    return decode_batch(z_star)
+    out = decode_batch(z_star)
+    return out if offset is None else out + offset
 
 
 def optimize_chunk(model: ConvVAE, local_variables, global_variables,
@@ -391,7 +454,7 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
     # ---- stage 2: relative-global pose, reprojection off ---------------
     opt_rel = optimize_stage(
         model, global_variables, mid_rel, win_heat, win_bl, camera,
-        global_w, False, cfg)
+        global_w, False, cfg, residual=cfg.energy.global_residual)
     opt_world = relative_to_global_pose(opt_rel, cam0)
 
     # ---- merge overlapping windows -------------------------------------
@@ -488,7 +551,8 @@ def optimize_chunks_flat(model: ConvVAE, local_variables,
     mid_world = relative_to_global_pose(mid_rel, cam0)
 
     opt_rel = optimize_stage(model, global_variables, mid_rel, f_heat,
-                             bl_flat, camera, global_w, False, cfg)
+                             bl_flat, camera, global_w, False, cfg,
+                             residual=cfg.energy.global_residual)
     opt_world = relative_to_global_pose(opt_rel, cam0)
 
     def unflat_merge(x):

@@ -76,7 +76,22 @@ def main():
         "smooth_x10": {"global_smooth": 0.01},
         "w3d_x10_smooth_x10": {"global_weight_3d": 0.1,
                                "global_smooth": 0.01},
+        # residual parametrization (EnergyConfig.global_residual): exact
+        # at init, no decode floor — crossed with the weight splits
+        "residual_ref_split": {"global_residual": True},
+        "residual_w3d_x100": {"global_residual": True,
+                              "global_weight_3d": 1.0},
+        "residual_smooth_x10": {"global_residual": True,
+                                "global_smooth": 0.01},
     }
+    sel_w = os.environ.get("S2_WEIGHTS")    # comma-separated arm filter
+    if sel_w:
+        want = set(sel_w.split(","))
+        weight_cfgs = {k: v for k, v in weight_cfgs.items() if k in want}
+    sel_c = os.environ.get("S2_CORPORA")
+    if sel_c:
+        want = set(sel_c.split(","))
+        corpora = {k: v for k, v in corpora.items() if k in want}
 
     results = {}
     for corpus, cam_noise in corpora.items():

@@ -220,3 +220,99 @@ class TestPipelineRuns:
         d_on = np.linalg.norm(mid_on - target, axis=-1).mean()
         d_off = np.linalg.norm(mid_off - target, axis=-1).mean()
         assert d_on < d_off, (d_on, d_off)
+
+
+class TestResidualGlobalStage:
+    """EnergyConfig.global_residual: stage-2 output p(z) = anchor +
+    decode(z) - decode(z0) — exact at init, so the global stage cannot
+    regress the stage-1 result through its decode/recon floor (the
+    reference's own stage-2 failure mode, its tripwire at
+    optimize_whole_sequence.py:87-88)."""
+
+    def _stage_inputs(self, chunk):
+        from globalegomocap_tpu.optimize.window import slice_windows
+        from globalegomocap_tpu.ops.skeleton import mean_bone_lengths
+        win = slice_windows(jnp.asarray(chunk.estimated_local), 10, 8)
+        heat = jnp.zeros((win.shape[0], 10, 15, 4, 4), jnp.float32)
+        bl = jnp.broadcast_to(
+            mean_bone_lengths(jnp.asarray(chunk.estimated_local)),
+            (win.shape[0], 15))
+        return win, heat, bl
+
+    def test_exact_at_init(self, optimizer, chunk):
+        """Zero solver iterations => the residual stage returns its
+        anchor EXACTLY (no decode floor), unlike the plain stage."""
+        from globalegomocap_tpu.optimize.pipeline import (
+            optimize_stage, stage_weights)
+        win, heat, bl = self._stage_inputs(chunk)
+        cfg = small_cfg(solver=SolverConfig(method="lbfgs_fixed",
+                                            max_iter=0, history_size=3))
+        cam = resolve_camera(cfg)
+        _, global_w = stage_weights(cfg)
+        out = optimize_stage(optimizer.model, optimizer.global_variables,
+                             win, heat, bl, cam, global_w, False, cfg,
+                             residual=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(win),
+                                   rtol=1e-5, atol=1e-6)
+        plain = optimize_stage(optimizer.model,
+                               optimizer.global_variables, win, heat, bl,
+                               cam, global_w, False, cfg, residual=False)
+        assert float(jnp.abs(plain - win).max()) > 1e-3  # decode floor
+
+    def test_energy_monotone_vs_anchor(self, optimizer, chunk):
+        """The residual solve starts AT the anchor, so its output's
+        stage-2 energy can only be <= the anchor's energy."""
+        from globalegomocap_tpu.optimize.pipeline import (
+            optimize_stage, stage_weights)
+        win, heat, bl = self._stage_inputs(chunk)
+        cfg = small_cfg(solver=SolverConfig(
+            method="lbfgs_fixed", max_iter=5, history_size=5,
+            fused_probes=True, step_candidates=(1.0, 0.1)))
+        cam = resolve_camera(cfg)
+        _, global_w = stage_weights(cfg)
+        out = optimize_stage(optimizer.model, optimizer.global_variables,
+                             win, heat, bl, cam, global_w, False, cfg,
+                             residual=True)
+
+        def e_of(poses):
+            return float(sum(
+                total_energy_from_pose(poses[i], win[i], bl[i], None,
+                                       cam, global_w, False)
+                for i in range(win.shape[0])))
+
+        assert e_of(out) <= e_of(win) * (1 + 1e-6) + 1e-6
+        assert not np.array_equal(np.asarray(out), np.asarray(win))
+
+    def test_batched_solver_matches_vmap(self, optimizer, chunk):
+        """The explicitly-batched solver path must apply the same
+        residual offset as the per-window vmapped path."""
+        from globalegomocap_tpu.optimize.pipeline import (
+            optimize_stage, stage_weights)
+        win, heat, bl = self._stage_inputs(chunk)
+        base = SolverConfig(method="lbfgs_fixed", max_iter=3,
+                            history_size=3, fused_probes=True,
+                            step_candidates=(1.0, 0.1))
+        cam = resolve_camera(small_cfg())
+        _, global_w = stage_weights(small_cfg())
+        outs = []
+        for batched in (False, True):
+            cfg = small_cfg(solver=with_overrides(
+                base, batched_solver=batched))
+            outs.append(optimize_stage(
+                optimizer.model, optimizer.global_variables, win, heat,
+                bl, cam, global_w, False, cfg, residual=True))
+        np.testing.assert_allclose(np.asarray(outs[0]),
+                                   np.asarray(outs[1]),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_pipeline_runs_with_global_residual(self, optimizer, chunk):
+        from globalegomocap_tpu.config import EnergyConfig
+        cfg = small_cfg(energy=EnergyConfig(global_residual=True),
+                        solver=SolverConfig(max_iter=10, history_size=10,
+                                            max_ls_evals=10))
+        opt_r = SequenceOptimizer(optimizer.model,
+                                  optimizer.local_variables,
+                                  optimizer.global_variables, cfg)
+        errors, est, mid_local, opt, gt = opt_r.run(chunk)
+        assert np.all(np.isfinite(opt))
+        assert np.isfinite(errors["optimized_global_mpjpe"])
