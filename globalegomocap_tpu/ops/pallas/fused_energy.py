@@ -103,12 +103,16 @@ def _difference_matrix(t: int, j: int) -> np.ndarray:
 
 
 def _energy_core(px_, py_, pz_, anchor_xyz, get_cell, ox, oy, bone,
-                 amat, w_ref, poly_ref, *, t, j, k, sx, sy, crop_offset):
+                 amat, w_ref, poly_ref, *, t, j, k, sx, sy, crop_offset,
+                 with_reproj: bool = True):
     """Shared energy value + pose-gradient math on (B, L) arrays.
 
-    Used by both the post-decode kernel (`_kernel`) and the full
-    decode+energy kernel (ops/pallas/fused_decode_energy.py).
+    Used by the post-decode kernel (`_kernel`), its no-reproj variant
+    (`_kernel_noreproj`, the global stage), and the full decode+energy
+    kernel (ops/pallas/fused_decode_energy.py).
     get_cell(cell) -> (B, L) crop values for one of the k*k cells.
+    `with_reproj=False` (static) skips the fisheye projection and crop
+    sampling entirely — get_cell/ox/oy/poly_ref may be None.
     Returns (e (B, 1), gx, gy, gz) each (B, L).
     """
     L = t * j
@@ -121,69 +125,73 @@ def _energy_core(px_, py_, pz_, anchor_xyz, get_cell, ox, oy, bone,
     cy = w_ref[0, 6]
     ax_, ay_, az_ = anchor_xyz
 
-    # ---- fisheye projection with hand-derived partials ------------------
-    # (reference math: FishEyeCalibrated.py:96-129; ops/fisheye.world2camera)
-    z2 = -pz_
-    n2 = px_ * px_ + py_ * py_
-    n = jnp.sqrt(n2)
-    ns = jnp.maximum(n, _EPS)
-    inv_ns = 1.0 / ns
-    u = z2 * inv_ns
-    theta = _atan(u)   # Mosaic has no atan lowering; see _atan
-    # Horner rho(theta) and rho'(theta), static unroll over coefficients
-    npoly = poly_ref.shape[1]
-    rho = jnp.zeros_like(theta)
-    for i in range(npoly - 1, -1, -1):
-        rho = rho * theta + poly_ref[0, i]
-    drho = jnp.zeros_like(theta)
-    for i in range(npoly - 1, 0, -1):
-        drho = drho * theta + poly_ref[0, i] * float(i)
-    inv = rho * inv_ns
-    ix = ((px_ * inv + cx) - crop_offset) * sx - ox
-    iy = (py_ * inv + cy) * sy - oy
+    if with_reproj:
+        # ---- fisheye projection with hand-derived partials --------------
+        # (reference: FishEyeCalibrated.py:96-129; ops/fisheye.world2camera)
+        z2 = -pz_
+        n2 = px_ * px_ + py_ * py_
+        n = jnp.sqrt(n2)
+        ns = jnp.maximum(n, _EPS)
+        inv_ns = 1.0 / ns
+        u = z2 * inv_ns
+        theta = _atan(u)   # Mosaic has no atan lowering; see _atan
+        # Horner rho(theta) and rho'(theta), static unroll over coeffs
+        npoly = poly_ref.shape[1]
+        rho = jnp.zeros_like(theta)
+        for i in range(npoly - 1, -1, -1):
+            rho = rho * theta + poly_ref[0, i]
+        drho = jnp.zeros_like(theta)
+        for i in range(npoly - 1, 0, -1):
+            drho = drho * theta + poly_ref[0, i] * float(i)
+        inv = rho * inv_ns
+        ix = ((px_ * inv + cx) - crop_offset) * sx - ox
+        iy = (py_ * inv + cy) * sy - oy
 
-    ok = n > _EPS                       # clamp region: ns constant there
-    dns_dx = jnp.where(ok, px_ * inv_ns, 0.0)
-    dns_dy = jnp.where(ok, py_ * inv_ns, 0.0)
-    du_dx = -u * inv_ns * dns_dx
-    du_dy = -u * inv_ns * dns_dy
-    du_dz = -inv_ns                     # d z2/d pz = -1
-    dtheta = 1.0 / (1.0 + u * u)
-    common = drho * dtheta * inv_ns
-    dinv_dx = common * du_dx - inv * inv_ns * dns_dx
-    dinv_dy = common * du_dy - inv * inv_ns * dns_dy
-    dinv_dz = common * du_dz
-    dPx_dx = inv + px_ * dinv_dx
-    dPx_dy = px_ * dinv_dy
-    dPx_dz = px_ * dinv_dz
-    dPy_dx = py_ * dinv_dx
-    dPy_dy = inv + py_ * dinv_dy
-    dPy_dz = py_ * dinv_dz
+        ok = n > _EPS                   # clamp region: ns constant there
+        dns_dx = jnp.where(ok, px_ * inv_ns, 0.0)
+        dns_dy = jnp.where(ok, py_ * inv_ns, 0.0)
+        du_dx = -u * inv_ns * dns_dx
+        du_dy = -u * inv_ns * dns_dy
+        du_dz = -inv_ns                 # d z2/d pz = -1
+        dtheta = 1.0 / (1.0 + u * u)
+        common = drho * dtheta * inv_ns
+        dinv_dx = common * du_dx - inv * inv_ns * dns_dx
+        dinv_dy = common * du_dy - inv * inv_ns * dns_dy
+        dinv_dz = common * du_dz
+        dPx_dx = inv + px_ * dinv_dx
+        dPx_dy = px_ * dinv_dy
+        dPx_dz = px_ * dinv_dz
+        dPy_dx = py_ * dinv_dx
+        dPy_dy = inv + py_ * dinv_dy
+        dPy_dz = py_ * dinv_dz
 
-    # ---- dense bilinear crop sampling + derivative ----------------------
-    # s = sum_cells crop * tri(ix - cxc) * tri(iy - cyc)  (align_corners
-    # + zero-padding semantics of ops/sampling.bilinear_dense_pixels)
-    s = jnp.zeros_like(ix)
-    ds_dix = jnp.zeros_like(ix)
-    ds_diy = jnp.zeros_like(ix)
-    for cell in range(k * k):
-        cyc = float(cell // k)
-        cxc = float(cell % k)
-        ax = ix - cxc
-        ay = iy - cyc
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(ax))
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ay))
-        dwx = jnp.where(jnp.abs(ax) < 1.0, -jnp.sign(ax), 0.0)
-        dwy = jnp.where(jnp.abs(ay) < 1.0, -jnp.sign(ay), 0.0)
-        c = get_cell(cell)
-        s = s + c * wx * wy
-        ds_dix = ds_dix + c * dwx * wy
-        ds_diy = ds_diy + c * wx * dwy
-    e_rep = -jnp.sum(s, axis=-1, keepdims=True)          # (B, 1)
+        # ---- dense bilinear crop sampling + derivative ------------------
+        # s = sum_cells crop * tri(ix - cxc) * tri(iy - cyc) (align_corners
+        # + zero-padding semantics of ops/sampling.bilinear_dense_pixels)
+        s = jnp.zeros_like(ix)
+        ds_dix = jnp.zeros_like(ix)
+        ds_diy = jnp.zeros_like(ix)
+        for cell in range(k * k):
+            cyc = float(cell // k)
+            cxc = float(cell % k)
+            ax = ix - cxc
+            ay = iy - cyc
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(ax))
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ay))
+            dwx = jnp.where(jnp.abs(ax) < 1.0, -jnp.sign(ax), 0.0)
+            dwy = jnp.where(jnp.abs(ay) < 1.0, -jnp.sign(ay), 0.0)
+            c = get_cell(cell)
+            s = s + c * wx * wy
+            ds_dix = ds_dix + c * dwx * wy
+            ds_diy = ds_diy + c * wx * dwy
+        e_rep = -jnp.sum(s, axis=-1, keepdims=True)          # (B, 1)
 
-    gx_rep = -w_rep * (ds_dix * sx * dPx_dx + ds_diy * sy * dPy_dx)
-    gy_rep = -w_rep * (ds_dix * sx * dPx_dy + ds_diy * sy * dPy_dy)
-    gz_rep = -w_rep * (ds_dix * sx * dPx_dz + ds_diy * sy * dPy_dz)
+        gx_rep = -w_rep * (ds_dix * sx * dPx_dx + ds_diy * sy * dPy_dx)
+        gy_rep = -w_rep * (ds_dix * sx * dPx_dy + ds_diy * sy * dPy_dy)
+        gz_rep = -w_rep * (ds_dix * sx * dPx_dz + ds_diy * sy * dPy_dz)
+    else:
+        e_rep = jnp.zeros((px_.shape[0], 1), px_.dtype)
+        gx_rep = gy_rep = gz_rep = 0.0
 
     # ---- pose-space terms ----------------------------------------------
     dx3 = px_ - ax_
@@ -347,3 +355,89 @@ def _fse_bwd(t, j, k, full_hw, crop_offset, half_extent, g, ct):
 
 
 fused_stage_energy.defvjp(_fse_fwd, _fse_bwd)
+
+
+# ---------------------------------------------------------------------------
+# No-reproj variant: the GLOBAL stage's energy (3d/accel/bone/vae only,
+# reference weight split optimizer.py:352-353 sets reproj=0) in one kernel.
+# No crop buffers in VMEM -> a 4x larger window block fits.
+# ---------------------------------------------------------------------------
+
+NR_BLOCK = 64
+
+
+def _kernel_noreproj(pose_ref, anchor_ref, bone_ref, amat_ref, w_ref,
+                     e_ref, g_ref, *, t, j):
+    e, gx, gy, gz = _energy_core(
+        pose_ref[:, 0, :], pose_ref[:, 1, :], pose_ref[:, 2, :],
+        (anchor_ref[:, 0, :], anchor_ref[:, 1, :], anchor_ref[:, 2, :]),
+        None, None, None, bone_ref[:, :], amat_ref[...],
+        w_ref, None, t=t, j=j, k=0, sx=0.0, sy=0.0, crop_offset=0.0,
+        with_reproj=False)
+    e_ref[...] = e
+    g_ref[:, 0, :] = gx
+    g_ref[:, 1, :] = gy
+    g_ref[:, 2, :] = gz
+
+
+def _energy_and_grad_noreproj(pose_rt, anchor_t, bone, wvec, t, j):
+    """pose_rt (R, B, 3, L) -> (e (R, B), grad (R, B, 3, L)) in ONE
+    pallas_call; context indexed by the window block only (probe rows
+    re-read it — see `_energy_and_grad`)."""
+    r, b, _, L = pose_rt.shape
+    blk = min(NR_BLOCK, b)
+    pad = (-b) % blk
+    if pad:
+        zf = lambda a, n, ax: jnp.concatenate(  # noqa: E731
+            [a, jnp.zeros(a.shape[:ax] + (n,) + a.shape[ax + 1:],
+                          a.dtype)], axis=ax)
+        pose_rt = zf(pose_rt, pad, 1)
+        anchor_t, bone = zf(anchor_t, pad, 0), zf(bone, pad, 0)
+    bp = b + pad
+    nblk = bp // blk
+    pose_flat = pose_rt.reshape(r * bp, 3, L)
+    amat = jnp.asarray(_difference_matrix(t, j))
+    kern = partial(_kernel_noreproj, t=t, j=j)
+    e, g = pl.pallas_call(
+        kern,
+        grid=(r, nblk),
+        in_specs=[
+            pl.BlockSpec((blk, 3, L), lambda rr, i: (rr * nblk + i, 0, 0)),
+            pl.BlockSpec((blk, 3, L), lambda rr, i: (i, 0, 0)),
+            pl.BlockSpec((blk, L), lambda rr, i: (i, 0)),
+            pl.BlockSpec((L, L), lambda rr, i: (0, 0)),
+            pl.BlockSpec((1, 8), lambda rr, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((blk, 1), lambda rr, i: (rr * nblk + i, 0)),
+            pl.BlockSpec((blk, 3, L),
+                         lambda rr, i: (rr * nblk + i, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((r * bp, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((r * bp, 3, L), jnp.float32)),
+        interpret=_interpret(),
+    )(pose_flat, anchor_t, bone, amat, wvec)
+    e = e.reshape(r, bp)[:, :b]
+    g = g.reshape(r, bp, 3, L)[:, :b]
+    return e, g
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_stage_energy_noreproj(pose_rt, anchor_t, bone, wvec, t, j):
+    """Per-window no-reproj stage energy (R, B), differentiable in
+    pose_rt (R, B, 3, L).  wvec as in `fused_stage_energy` (its reproj
+    weight is ignored — the sampling term does not exist here)."""
+    e, _ = _energy_and_grad_noreproj(pose_rt, anchor_t, bone, wvec, t, j)
+    return e
+
+
+def _fsen_fwd(pose_rt, anchor_t, bone, wvec, t, j):
+    e, g = _energy_and_grad_noreproj(pose_rt, anchor_t, bone, wvec, t, j)
+    return e, g
+
+
+def _fsen_bwd(t, j, g, ct):
+    return (ct[:, :, None, None] * g, None, None, None)
+
+
+fused_stage_energy_noreproj.defvjp(_fsen_fwd, _fsen_bwd)

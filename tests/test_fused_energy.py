@@ -334,3 +334,86 @@ def test_pipeline_fused_decode_end_to_end():
         return np.linalg.norm(m - true_local[:m.shape[0]], axis=-1).mean()
 
     assert abs(err(res_a) - err(res_b)) < 0.05 * max(err(res_a), 1e-6)
+
+
+def test_noreproj_energy_and_grad_match_xla():
+    """The no-reproj kernel (the global stage's energy: 3d/accel/bone/vae
+    only, reference split optimizer.py:352-353) must match the XLA energy
+    path in value AND gradient."""
+    from globalegomocap_tpu.ops.pallas.fused_energy import (
+        fused_stage_energy_noreproj)
+    camera = fisheye.default_camera("egosyn")
+    w = EnergyWeights.create(weight_3d=1.0, smooth=0.001,
+                             bone_length=0.01, vae=0.002, reproj=0.0)
+    pose, anchor, _, _, bone = _random_inputs(7, seed=4)
+    pose_rt, anchor_t, _, _, _, bone_t = _to_kernel_layout(
+        pose, anchor, jnp.zeros((7, T, J, K, K)),
+        jnp.zeros((7, T, J, 2)), bone)
+    wvec = _ctx(camera, w)[0]
+
+    def kernel_sum(pr):
+        return jnp.sum(fused_stage_energy_noreproj(
+            pr, anchor_t, bone_t, wvec, T, J))
+
+    e_kernel = fused_stage_energy_noreproj(pose_rt, anchor_t, bone_t,
+                                           wvec, T, J)
+    g_kernel = jax.grad(kernel_sum)(pose_rt)
+    g_pose = jnp.moveaxis(g_kernel[0], 1, -1).reshape(pose.shape)
+
+    def xla_sum(p):
+        return jnp.sum(jax.vmap(
+            lambda pp, a, b_: total_energy_from_pose(
+                pp, a, b_, None, camera, w, False))(p, anchor, bone))
+
+    e_xla = jax.vmap(
+        lambda pp, a, b_: total_energy_from_pose(
+            pp, a, b_, None, camera, w, False))(pose, anchor, bone)
+    g_xla = jax.grad(xla_sum)(pose)
+    np.testing.assert_allclose(np.asarray(e_kernel[0]), np.asarray(e_xla),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pose), np.asarray(g_xla),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_stage2_fused_matches_xla_batched():
+    """optimize_stage with use_reproj=False must give the same result
+    through the no-reproj kernel (fused_energy) as through the batched
+    XLA energy (batched_solver) — including the residual offset."""
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, PriorConfig, SolverConfig, with_overrides)
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.optimize.driver import (
+        build_model, resolve_camera)
+    from globalegomocap_tpu.optimize.pipeline import (
+        optimize_stage, stage_weights)
+    from globalegomocap_tpu.optimize.window import slice_windows
+    from globalegomocap_tpu.ops.skeleton import mean_bone_lengths
+
+    cfg0 = OptimizeConfig(
+        prior=PriorConfig(latent_dim=32, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=3,
+                            history_size=3, fused_probes=True,
+                            step_candidates=(1.0, 0.1)),
+        fold_bn=True, dense_decoder=True, decoder_impl="shift")
+    model = build_model(cfg0)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    chunk = synthetic_chunk(n_frames=26, seed=9)
+    win = slice_windows(jnp.asarray(chunk.estimated_local), 10, 8)
+    heat = jnp.zeros((win.shape[0], 10, 15, 4, 4), jnp.float32)
+    bl = jnp.broadcast_to(
+        mean_bone_lengths(jnp.asarray(chunk.estimated_local)),
+        (win.shape[0], 15))
+    cam = resolve_camera(cfg0)
+    _, global_w = stage_weights(cfg0)
+    for residual in (False, True):
+        outs = []
+        for arm in ({"fused_energy": True}, {"batched_solver": True}):
+            cfg = with_overrides(cfg0, solver=with_overrides(
+                cfg0.solver, **arm))
+            outs.append(optimize_stage(model, v, win, heat, bl, cam,
+                                       global_w, False, cfg,
+                                       residual=residual))
+        np.testing.assert_allclose(np.asarray(outs[0]),
+                                   np.asarray(outs[1]),
+                                   rtol=2e-4, atol=2e-5)
