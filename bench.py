@@ -144,8 +144,13 @@ def main():
                             history_size=HISTORY, max_iter=MAX_ITER,
                             fused_energy=FUSED_ENERGY,
                             step_candidates=STEP_CANDIDATES),
-        energy=EnergyConfig(global_weight_3d=float(os.environ.get(
-            "BENCH_GLOBAL_W3D", "1.0"))),
+        energy=EnergyConfig(
+            global_weight_3d=float(os.environ.get("BENCH_GLOBAL_W3D",
+                                                  "1.0")),
+            # residual stage-2 parametrization: exact at init, no decode
+            # floor; improves every metric family in both camera regimes
+            # (stage2_residual.json) — production default since round 3
+            global_residual=os.environ.get("BENCH_RESIDUAL", "1") == "1"),
         sampling_impl=SAMPLING,
         fold_bn=FOLD_BN,
         dense_decoder=DENSE_DECODER,

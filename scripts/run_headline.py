@@ -120,8 +120,17 @@ def main():
     from globalegomocap_tpu.config import EnergyConfig
     g3d = float(os.environ.get("HEADLINE_GLOBAL_W3D", "1.0"))
     fused = os.environ.get("HEADLINE_FUSED", "1") == "1"
+    # residual stage-2 parametrization (EnergyConfig.global_residual):
+    # p(z) = mid + decode(z) - decode(z0), exact at init — the global
+    # stage can no longer regress stage 1 through its decode floor, and
+    # it improves EVERY metric family in both the exact-camera and the
+    # SLAM-noise regime (stage2_residual.json: clean bone-aligned
+    # 0.02176 -> 0.02039 vs 0.02172 for the best plain split; camnoise
+    # raw 0.07740 -> 0.07575).  Production default since round 3.
+    residual = os.environ.get("HEADLINE_RESIDUAL", "1") == "1"
     cfg = OptimizeConfig(prior=PriorConfig(latent_dim=2048, seq_len=10),
-                         energy=EnergyConfig(global_weight_3d=g3d),
+                         energy=EnergyConfig(global_weight_3d=g3d,
+                                             global_residual=residual),
                          solver=SolverConfig(method="lbfgs_fixed",
                                              fused_probes=True,
                                              history_size=5,
@@ -197,33 +206,35 @@ def main():
                 f"not better than {orig_k}={float(mean[orig_k]):.5f}")
         # mid-vs-optimized tripwires (the reference's own stage-2
         # regression check, optimize_whole_sequence.py:87-88, prints on
-        # bone-aligned opt > mid).  On THIS corpus the cameras are exact,
-        # so stage 2 has nothing to fix by construction and its value is
-        # bounded by the global prior's decode floor (~0.008 recon);
-        # stage2_experiment.json shows it adds genuine value the moment
-        # trajectory error exists.  Gates: bone-aligned must NOT regress
-        # (strict, per sequence + overall), raw-global gets a 3%
-        # decode-floor allowance (documented artifact analysis).
+        # bone-aligned opt > mid).  With the residual stage-2
+        # parametrization the global stage starts EXACTLY at mid (no
+        # decode floor), so the gates are strict: stage 2 must not
+        # regress any sequence beyond cross-backend solver scatter (1%),
+        # and must IMPROVE the overall bone-aligned and raw-global
+        # means.  (The old plain-decode stage needed a 3% decode-floor
+        # allowance and still fired marginally under backend numeric
+        # scatter — stage2_residual.json documents the fix.)
         for name, avg in overall.items():
             b_mid = float(avg["bone_length_aligned_mid_optimized_mpjpe"])
             b_opt = float(avg["bone_length_aligned_optimized_mpjpe"])
-            assert b_opt <= b_mid * 1.03, (
+            assert b_opt <= b_mid * 1.01, (
                 f"STAGE-2 REGRESSION ({name}): bone-aligned "
                 f"mid {b_mid:.5f} -> optimized {b_opt:.5f}")
         bm = float(mean["bone_length_aligned_mid_optimized_mpjpe"])
         bo = float(mean["bone_length_aligned_optimized_mpjpe"])
-        assert bo <= bm * 1.02, (
+        assert bo <= bm, (
             f"STAGE-2 REGRESSION: overall bone-aligned mid {bm:.5f} -> "
             f"optimized {bo:.5f}")
         r_mid = float(mean["mid_global_mpjpe"])
         r_opt = float(mean["optimized_global_mpjpe"])
-        assert r_opt <= r_mid * 1.03, (
+        assert r_opt <= r_mid, (
             f"STAGE-2 REGRESSION: raw-global mid {r_mid:.5f} -> "
-            f"optimized {r_opt:.5f} exceeds the decode-floor allowance")
+            f"optimized {r_opt:.5f}")
         print("headline quality tripwires: PASS "
               "(raw global, camera trajectory, aligned, bone-aligned; "
-              "stage-2 mid-vs-opt: bone-aligned non-regressing per "
-              "sequence, raw-global within the decode-floor allowance)")
+              "stage-2 mid-vs-opt: bone-aligned strictly improving "
+              "overall and non-regressing per sequence, raw-global "
+              "improving)")
 
 
 if __name__ == "__main__":
