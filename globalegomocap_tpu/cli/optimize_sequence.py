@@ -95,6 +95,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "decode(z) - decode(z0) — exact at init (no "
                         "decode floor); improves every metric family in "
                         "both camera regimes (stage2_residual.json)")
+    p.add_argument("--local_residual", default=False, type=str2bool,
+                   help="residual STAGE-1 parametrization (experimental; "
+                        "measured NEGATIVE on the synthetic corpora — "
+                        "the local stage denoises through the prior and "
+                        "the residual form keeps the estimate's noise; "
+                        "quality_iter_crop_s1res.json)")
     p.add_argument("--fused_energy", default=False, type=str2bool,
                    help="lbfgs_fixed: ONE Pallas kernel per objective "
                         "eval for the whole post-decode energy "
@@ -152,7 +158,8 @@ def main(argv=None):
                             soft_smooth=args.soft_smooth,
                             global_weight_3d=args.global_weight_3d,
                             global_smooth=args.global_smooth,
-                            global_residual=args.global_residual),
+                            global_residual=args.global_residual,
+                            local_residual=args.local_residual),
         prior=PriorConfig(latent_dim=args.latent_dim, seq_len=args.seq_len,
                           hidden_dims=tuple(
                               int(x) for x in args.hidden_dims.split(","))),

@@ -118,6 +118,13 @@ class EnergyConfig:
     # than trajectory correction gains) — while corrections stay in the
     # prior's tangent space.  No reference equivalent.
     global_residual: bool = False
+    # same residual parametrization for STAGE 1 (local stage):
+    # p(z) = estimate + decode(z) - decode(z0).  Experimental — unlike
+    # stage 2, stage 1's job is DENOISING the estimate through the prior
+    # manifold, and the residual form keeps the estimate's noise unless
+    # the reproj/smooth terms remove it (quality probe:
+    # quality_iter_crop.py QIC_ONLY=residual s1 arms)
+    local_residual: bool = False
 
 
 @dataclass(frozen=True)

@@ -167,7 +167,7 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
                    and smoothed is None
                    and float(cfg.energy.overlap_consistency) == 0.0)
     if (use_batched and s.fused_energy and use_reproj
-            and origins is not None and offset is None
+            and origins is not None
             and cfg.heatmap_dtype == "float32"):
         # MEGA-KERNEL PATH: the whole post-decode energy (value + analytic
         # grad) is ONE Pallas kernel per eval; the solver runs explicitly
@@ -194,9 +194,11 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
         hg = cfg.heatmap
         latent = mu.shape[-1]
 
-        if s.fused_decode:
+        if s.fused_decode and offset is None:
             # v2: the conv chain joins the kernel; only the first dense
-            # stays in XLA (42 MB of weights > scoped VMEM)
+            # stays in XLA (42 MB of weights > scoped VMEM) — the
+            # in-kernel decode cannot take a residual offset, so residual
+            # stages use the v1 (post-decode) kernel below
             from globalegomocap_tpu.models.fold_bn import fold_batchnorm
             from globalegomocap_tpu.ops.pallas.fused_decode_energy import (
                 fused_decode_stage_energy)
@@ -233,6 +235,11 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
                     rr, bb = z3_.shape[0], z3_.shape[1]
                     pose = decode_batch(
                         z3_.reshape(rr * bb, latent)).astype(jnp.float32)
+                    if offset is not None:
+                        # residual offset: an XLA elementwise add that
+                        # fuses into the decode epilogue
+                        pose = (pose.reshape((rr, bb) + pose.shape[1:])
+                                + offset[None]).reshape(pose.shape)
                     pose_rt = jnp.moveaxis(
                         pose.reshape(rr * bb, L, 3), -1, 1
                     ).reshape(rr, bb, 3, L)
@@ -248,7 +255,8 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
             vg_batch, mu, max_iter=s.max_iter,
             history_size=s.history_size, lr=s.lr,
             step_candidates=tuple(s.step_candidates))
-        return decode_batch(res.x)
+        out = decode_batch(res.x)
+        return out if offset is None else out + offset
 
     if use_batched and s.fused_energy and not use_reproj:
         # NO-REPROJ KERNEL PATH (the global stage): the whole pose-space
@@ -442,7 +450,8 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
     # ---- stage 1: local pose, heatmap term on --------------------------
     mid_local_win = optimize_stage(
         model, local_variables, win_local, win_heat, win_bl, camera,
-        local_w, use_reproj, cfg, origins=win_org, full_hw=full_hw)
+        local_w, use_reproj, cfg, origins=win_org, full_hw=full_hw,
+        residual=cfg.energy.local_residual)
 
     # ---- lift to relative-global and world frames ----------------------
     est_rel = relative_global_pose(win_local, win_cam)
@@ -542,7 +551,8 @@ def optimize_chunks_flat(model: ConvVAE, local_variables,
 
     mid_local = optimize_stage(model, local_variables, f_local, f_heat,
                                bl_flat, camera, local_w, use_reproj, cfg,
-                               origins=f_org, full_hw=full_hw)
+                               origins=f_org, full_hw=full_hw,
+                               residual=cfg.energy.local_residual)
 
     est_rel = relative_global_pose(f_local, f_cam)
     mid_rel = relative_global_pose(mid_local, f_cam)

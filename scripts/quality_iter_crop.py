@@ -129,12 +129,15 @@ def main():
     g3d = None if g3d in ("", "ref") else float(g3d)
 
     def measure(label, max_iter, crop, history=10,
-                candidates=(1.0, 0.5, 0.1, 0.02), fused_energy=False):
+                candidates=(1.0, 0.5, 0.1, 0.02), fused_energy=False,
+                residual=False, s1_residual=False):
         from globalegomocap_tpu.config import EnergyConfig
         rscale = float(os.environ.get("QIC_REPROJ_SCALE", "1.0"))
         cfg = OptimizeConfig(
             prior=PriorConfig(latent_dim=2048, seq_len=10),
             energy=EnergyConfig(global_weight_3d=g3d,
+                                global_residual=residual,
+                                local_residual=s1_residual,
                                 reproj=0.01 * rscale),
             solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
                                 history_size=history, max_iter=max_iter,
@@ -214,6 +217,33 @@ def main():
                 candidates=(1.0, 0.1))
         measure("v2_iter15_crop8_m5_K2_fused", 15, 8, history=5,
                 candidates=(1.0, 0.1), fused_energy=True)
+        return
+    if only == "residual":
+        # the residual global stage at the production operating point:
+        # re-verify the fast-tier knob orderings (iter/crop/m/K) hold
+        # with the round-3 production default (residual + fused kernels)
+        measure("iter15_crop8_m5_K2_fused_res", 15, 8, history=5,
+                candidates=(1.0, 0.1), fused_energy=True, residual=True)
+        measure("iter15_crop8_m5_K2_fused_plain", 15, 8, history=5,
+                candidates=(1.0, 0.1), fused_energy=True)
+        measure("iter25_crop8_m5_K2_fused_res", 25, 8, history=5,
+                candidates=(1.0, 0.1), fused_energy=True, residual=True)
+        measure("iter15_crop16_m5_K2_fused_res", 15, 16, history=5,
+                candidates=(1.0, 0.1), fused_energy=True, residual=True)
+        measure("iter15_crop8_m10_K4_fused_res", 15, 8, history=10,
+                fused_energy=True, residual=True)
+        measure("iter15_crop8_m5_K2_xla_res", 15, 8, history=5,
+                candidates=(1.0, 0.1), residual=True)
+        return
+    if only == "s1res":
+        # stage-1 residual probe (EnergyConfig.local_residual): does the
+        # decode-floor argument transfer to the local stage, or does
+        # residual keep the estimate's noise?  (TODO round-4 item)
+        measure("s1res_iter15_crop8_m5_K2_fused", 15, 8, history=5,
+                candidates=(1.0, 0.1), fused_energy=True, residual=True,
+                s1_residual=True)
+        measure("s1base_iter15_crop8_m5_K2_fused", 15, 8, history=5,
+                candidates=(1.0, 0.1), fused_energy=True, residual=True)
         return
     if only == "fused":
         # the mega-kernel path vs the XLA path at the production operating

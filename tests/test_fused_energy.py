@@ -417,3 +417,49 @@ def test_stage2_fused_matches_xla_batched():
         np.testing.assert_allclose(np.asarray(outs[0]),
                                    np.asarray(outs[1]),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_stage1_residual_fused_matches_xla_batched():
+    """The v1 mega-kernel path must apply the residual offset (an XLA
+    add before the kernel) identically to the batched XLA energy path —
+    a reproj stage with residual on."""
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, PriorConfig, SolverConfig, with_overrides)
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.energy.terms import crop_heatmaps_channels_last
+    from globalegomocap_tpu.optimize.driver import (
+        build_model, resolve_camera)
+    from globalegomocap_tpu.optimize.pipeline import (
+        optimize_stage, stage_weights)
+    from globalegomocap_tpu.optimize.window import slice_windows
+    from globalegomocap_tpu.ops.skeleton import mean_bone_lengths
+
+    cfg0 = OptimizeConfig(
+        prior=PriorConfig(latent_dim=32, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=3,
+                            history_size=3, fused_probes=True,
+                            step_candidates=(1.0, 0.1)),
+        sampling_impl="dense", heatmap_crop=8,
+        fold_bn=True, dense_decoder=True, decoder_impl="shift")
+    model = build_model(cfg0)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    chunk = synthetic_chunk(n_frames=26, seed=13)
+    est = jnp.asarray(chunk.estimated_local)
+    crops, origins, full_hw = crop_heatmaps_channels_last(
+        jnp.asarray(chunk.heatmaps), 8)
+    win = slice_windows(est, 10, 8)
+    win_heat = jnp.moveaxis(slice_windows(crops, 10, 8), -1, 2)
+    win_org = slice_windows(origins, 10, 8)
+    bl = jnp.broadcast_to(mean_bone_lengths(est), (win.shape[0], 15))
+    cam = resolve_camera(cfg0)
+    local_w, _ = stage_weights(cfg0)
+    outs = []
+    for arm in ({"fused_energy": True}, {"batched_solver": True}):
+        cfg = with_overrides(cfg0, solver=with_overrides(
+            cfg0.solver, **arm))
+        outs.append(optimize_stage(model, v, win, win_heat, bl, cam,
+                                   local_w, True, cfg, origins=win_org,
+                                   full_hw=full_hw, residual=True))
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]),
+                               rtol=2e-4, atol=2e-5)
