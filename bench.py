@@ -20,11 +20,13 @@ import time
 import numpy as np
 
 SEED = 0
-# 40 chunks = 480 windows: after staged batches removed the host-side
-# launch costs, ~31 ms/launch of RTT+intercept remained — a 480-window
-# flat batch amortizes it better (3958 vs 3332 w/s at 240; 80 chunks
-# over-saturates at 3550 — perf_levers_r2e.json)
-N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "40"))
+# 56 chunks = 672 windows: the mega-kernel halved the per-iteration cost,
+# which moved the RTT/intercept-amortization optimum up from round 2's 40
+# chunks (unroll_chunks_ab2.json: 9639 w/s at 56 vs 9119 at 40 synced,
+# same-session; 80 is flat on synced and worse pipelined).  The PIPELINED
+# optimum stays at 40 (13556 vs 13005) — serving deployments that
+# overlap launches should prefer BENCH_CHUNKS=40.
+N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "56"))
 FRAMES_PER_CHUNK = 100
 # defaults are the measured-fastest configuration that passes the e2e
 # quality tests (see perf_sweep.json + tests/test_e2e_quality.py)
@@ -95,6 +97,13 @@ HEATMAP_DTYPE = os.environ.get("BENCH_HEATMAP_DTYPE", "float32")
 # EXACTLY lossless vs full maps (quality_iter_crop.json); the mass guard
 # falls back to full maps for multimodal/flattened sources
 HEATMAP_CROP = int(os.environ.get("BENCH_HEATMAP_CROP", "8"))
+# lax.scan unroll factor for the solver iteration loop: the per-iteration
+# cost is kernel-dispatch-bound (~26-30 fusions x tens of us), so letting
+# XLA fuse across iteration boundaries buys +7-9% synced / +5-8%
+# pipelined (unroll_chunks_ab.json), with outputs bitwise-identical at
+# unroll<=5 (8 drifts in the last float digit and compiles 134 s — not
+# worth it)
+UNROLL = int(os.environ.get("BENCH_UNROLL", "5"))
 
 # torch-CPU reference-equivalent baseline (windows/sec, two stages), as
 # measured by scripts/measure_torch_baseline.py on this machine; see
@@ -143,7 +152,8 @@ def main():
                             circular_history=CIRCULAR_HISTORY,
                             history_size=HISTORY, max_iter=MAX_ITER,
                             fused_energy=FUSED_ENERGY,
-                            step_candidates=STEP_CANDIDATES),
+                            step_candidates=STEP_CANDIDATES,
+                            unroll=UNROLL),
         energy=EnergyConfig(
             global_weight_3d=float(os.environ.get("BENCH_GLOBAL_W3D",
                                                   "1.0")),

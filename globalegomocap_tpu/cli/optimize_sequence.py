@@ -106,6 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "eval for the whole post-decode energy "
                         "(value + analytic grad); needs reproj + "
                         "heatmap_crop + float32 maps")
+    p.add_argument("--unroll", default=1, type=int,
+                   help="lbfgs_fixed: lax.scan unroll factor for the "
+                        "iteration loop (scheduling-only — outputs are "
+                        "bitwise-identical at <=5; the production bench "
+                        "runs 5: +7-9%% on the dispatch-bound path, "
+                        "unroll_chunks_ab.json)")
     p.add_argument("--sampling", default="gather",
                    choices=["gather", "dense", "pallas"])
     p.add_argument("--heatmap_dtype", default="float32",
@@ -167,6 +173,7 @@ def main(argv=None):
                             fused_probes=args.fused_probes,
                             circular_history=args.circular_history,
                             fused_energy=args.fused_energy,
+                            unroll=args.unroll,
                             init=args.init, init_seed=args.init_seed),
         sampling_impl=args.sampling,
         heatmap_dtype=args.heatmap_dtype,

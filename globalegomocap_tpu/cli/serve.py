@@ -73,7 +73,11 @@ def main(argv=None):
                           hidden_dims=tuple(
                               int(x) for x in args.hidden_dims.split(","))),
         solver=SolverConfig(method=args.solver,
-                            fused_probes=args.fused_probes),
+                            fused_probes=args.fused_probes,
+                            circular_history=args.circular_history,
+                            fused_energy=args.fused_energy,
+                            unroll=args.unroll,
+                            init=args.init, init_seed=args.init_seed),
         sampling_impl=args.sampling, heatmap_dtype=args.heatmap_dtype,
         heatmap_crop=args.heatmap_crop, fold_bn=args.fold_bn,
         dense_decoder=args.dense_decoder, decoder_impl=args.decoder_impl,

@@ -78,6 +78,11 @@ class SolverConfig:
     # (ops/pallas/fused_decode_energy.py) — one objective eval becomes
     # one XLA latent matmul + ONE kernel + one transpose matmul
     fused_decode: bool = False
+    # fixed solver: lax.scan unroll factor for the iteration loop.  The
+    # per-iteration cost is kernel-dispatch-bound (~30 kernels x tens of
+    # us; iter_decomp_r3.json), so unrolling lets XLA fuse across
+    # iteration boundaries at the cost of program size / compile time.
+    unroll: int = 1
 
 
 @dataclass(frozen=True)

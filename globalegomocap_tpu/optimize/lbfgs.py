@@ -451,7 +451,8 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
                          fused_probes: bool = False,
                          compact_direction: bool = False,
                          circular_history: bool = False,
-                         pallas_direction: bool = False) -> LBFGSResult:
+                         pallas_direction: bool = False,
+                         unroll: int = 1) -> LBFGSResult:
     """L-BFGS with a PARALLEL Armijo line search and fully static control
     flow (lax.scan, no while loops).
 
@@ -583,7 +584,8 @@ def lbfgs_minimize_fixed(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
             jnp.zeros((history_size,), bool),
             jnp.asarray(0, jnp.int32))
     (x, f, g, *_), _ = jax.lax.scan(step, init,
-                                    jnp.arange(max_iter, dtype=jnp.int32))
+                                    jnp.arange(max_iter, dtype=jnp.int32),
+                                    unroll=unroll)
     n_evals = max_iter * k + 1 if fused_probes else max_iter * (k + 1) + 1
     return LBFGSResult(x=x, f=f, grad_norm=jnp.max(jnp.abs(g)),
                        n_iter=jnp.asarray(max_iter),
@@ -595,7 +597,8 @@ def lbfgs_minimize_fixed_batched(value_and_grad_batch, x0: jnp.ndarray,
                                  history_size: int = 10,
                                  lr: float = 2.0,
                                  step_candidates=(1.0, 0.5, 0.1, 0.02),
-                                 c1: float = 1e-4) -> LBFGSResult:
+                                 c1: float = 1e-4,
+                                 unroll: int = 1) -> LBFGSResult:
     """`lbfgs_minimize_fixed` with an EXPLICIT batch axis and fused probes.
 
     value_and_grad_batch: (R, B, d) -> ((R, B), (R, B, d)), row-independent
@@ -672,7 +675,8 @@ def lbfgs_minimize_fixed_batched(value_and_grad_batch, x0: jnp.ndarray,
             jnp.zeros((b, history_size), dtype),
             jnp.zeros((b, history_size), bool))
     (x, f, g, *_), _ = jax.lax.scan(step, init,
-                                    jnp.arange(max_iter, dtype=jnp.int32))
+                                    jnp.arange(max_iter, dtype=jnp.int32),
+                                    unroll=unroll)
     return LBFGSResult(x=x, f=f,
                        grad_norm=jnp.max(jnp.abs(g), axis=-1),
                        n_iter=jnp.asarray(max_iter),

@@ -72,7 +72,8 @@ def _solve(cfg: OptimizeConfig, loss, z0):
             fused_probes=s.fused_probes,
             compact_direction=s.compact_direction,
             circular_history=s.circular_history,
-            pallas_direction=s.pallas_direction).x
+            pallas_direction=s.pallas_direction,
+            unroll=s.unroll).x
     return lbfgs_minimize(
         loss, z0, max_iter=s.max_iter, history_size=s.history_size,
         lr=s.lr, tolerance_change=s.tolerance_change,
@@ -254,7 +255,8 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
         res = lbfgs_minimize_fixed_batched(
             vg_batch, mu, max_iter=s.max_iter,
             history_size=s.history_size, lr=s.lr,
-            step_candidates=tuple(s.step_candidates))
+            step_candidates=tuple(s.step_candidates),
+            unroll=s.unroll)
         out = decode_batch(res.x)
         return out if offset is None else out + offset
 
@@ -299,7 +301,8 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
         res = lbfgs_minimize_fixed_batched(
             vg_batch, mu, max_iter=s.max_iter,
             history_size=s.history_size, lr=s.lr,
-            step_candidates=tuple(s.step_candidates))
+            step_candidates=tuple(s.step_candidates),
+            unroll=s.unroll)
         out = decode_batch(res.x)
         return out if offset is None else out + offset
 
@@ -337,7 +340,8 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
         res = lbfgs_minimize_fixed_batched(
             vg_batch, mu, max_iter=s.max_iter,
             history_size=s.history_size, lr=s.lr,
-            step_candidates=tuple(s.step_candidates))
+            step_candidates=tuple(s.step_candidates),
+            unroll=s.unroll)
         out = decode_batch(res.x)
         return out if offset is None else out + offset
 

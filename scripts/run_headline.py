@@ -136,7 +136,12 @@ def main():
                                              history_size=5,
                                              max_iter=15,
                                              fused_energy=fused,
-                                             step_candidates=(1.0, 0.1)),
+                                             step_candidates=(1.0, 0.1),
+                                             # scan unroll: scheduling-only
+                                             # (outputs bitwise-identical,
+                                             # unroll_chunks_ab.json)
+                                             unroll=int(os.environ.get(
+                                                 "HEADLINE_UNROLL", "5"))),
                          sampling_impl="dense", heatmap_crop=16,
                          fold_bn=True, dense_decoder=True,
                          decoder_impl="shift")

@@ -28,7 +28,7 @@ def main():
     import numpy as np
 
     from globalegomocap_tpu.config import (
-        OptimizeConfig, PriorConfig, SolverConfig)
+        EnergyConfig, OptimizeConfig, PriorConfig, SolverConfig)
     from globalegomocap_tpu.data.synthetic import synthetic_chunk
     from globalegomocap_tpu.data.test_data import TestChunk
     from globalegomocap_tpu.optimize.driver import (
@@ -45,11 +45,19 @@ def main():
     chunks_per = int(os.environ.get("SERVE_CHUNKS", "40"))
     depth = int(os.environ.get("SERVE_DEPTH", "3"))
 
+    # production defaults (match bench.py): fused mega-kernel, residual
+    # stage 2, unroll-5 solver scan.  SERVE_FUSED=0 reproduces the
+    # round-3 pre-kernel serving numbers.
+    fused = os.environ.get("SERVE_FUSED", "1") == "1"
     cfg = OptimizeConfig(
         prior=PriorConfig(latent_dim=2048, seq_len=10),
+        energy=EnergyConfig(global_weight_3d=1.0, global_residual=True),
         solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
                             history_size=5, max_iter=15,
-                            step_candidates=(1.0, 0.1)),
+                            step_candidates=(1.0, 0.1),
+                            fused_energy=fused,
+                            unroll=int(os.environ.get("SERVE_UNROLL",
+                                                      "5"))),
         sampling_impl="dense", fold_bn=True, dense_decoder=True,
         decoder_impl="shift", heatmap_crop=8)
     model = build_model(cfg)

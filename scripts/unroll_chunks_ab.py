@@ -1,0 +1,147 @@
+"""A/B: solver-scan unroll factor and chunk-count re-sweep at the fused
+production point (round-3 defaults: fused_energy + residual stage 2).
+
+Motivation (iter_decomp_r3.json): the pipelined launch is ~37.6 ms of
+program = ~9 ms intercept + 30 stage-iterations x 0.965 ms, and each
+iteration is ~26-30 kernel dispatches — the path is dispatch-bound, not
+FLOP-bound.  Two levers that only move fixed/dispatch overheads:
+  * lax.scan unroll: XLA can fuse across iteration boundaries and drops
+    per-trip loop overhead, at the cost of program size / compile time.
+  * chunk count: RTT + intercept amortize over more windows per launch
+    ("40 optimal, 56/80 over-saturate" was measured PRE-mega-kernel at
+    perf_levers_r2e.json — the balance moves when the per-iteration cost
+    halves).
+
+Config: bench.py production defaults — latent 2048, shift decoder,
+fold_bn, crop8, dense sampling, fused_probes, m5, iter15, K2,
+fused_energy, global_residual.  SANITY: the first arm is the known
+production point (unroll1 x 40 chunks ≈ 55-62 ms synced / 480 windows);
+if it reads >2x slow the process is in the degraded-claim regime
+(CLAUDE.md) and every number here is invalid — rerun in a fresh process.
+
+Run on TPU: python scripts/unroll_chunks_ab.py  ->  unroll_chunks_ab.json
+Env: AB_UNROLLS="1,2,3,5"  AB_CHUNKSETS="40,56,80"  AB_OUT=...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+
+    from globalegomocap_tpu.config import (
+        EnergyConfig, OptimizeConfig, PriorConfig, SolverConfig)
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.data.test_data import TestChunk
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model)
+    from globalegomocap_tpu.optimize.window import num_windows
+
+    unrolls = [int(x) for x in
+               os.environ.get("AB_UNROLLS", "1,3,5").split(",")]
+    chunksets = [int(x) for x in
+                 os.environ.get("AB_CHUNKSETS", "40,56,80").split(",")]
+
+    base = OptimizeConfig(
+        prior=PriorConfig(latent_dim=2048, seq_len=10),
+        energy=EnergyConfig(global_weight_3d=1.0, global_residual=True),
+        solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
+                            history_size=5, max_iter=15,
+                            step_candidates=(1.0, 0.1),
+                            fused_energy=True),
+        sampling_impl="dense", heatmap_crop=8,
+        fold_bn=True, dense_decoder=True, decoder_impl="shift")
+    model = build_model(base)
+    x0 = jnp.zeros((1, 10, 45))
+    v1 = model.init(jax.random.PRNGKey(0), x0, False)
+    v2 = model.init(jax.random.PRNGKey(1), x0, False)
+
+    max_chunks = max(chunksets)
+    all_chunks = [TestChunk(*(jax.device_put(jnp.asarray(a))
+                              for a in synthetic_chunk(100, seed=i)))
+                  for i in range(max_chunks)]
+
+    out = {"results": {}}
+    ref_mean = None
+
+    def run_arm(label, n_chunks, unroll):
+        nonlocal ref_mean
+        cfg = replace(base, solver=replace(base.solver, unroll=unroll))
+        opt = SequenceOptimizer(model, v1, v2, cfg)
+        chunks = all_chunks[:n_chunks]
+        wins = num_windows(100) * n_chunks
+        staged = opt.stage(chunks)
+        t0 = time.perf_counter()
+        res = opt.optimize_chunks_batched(staged, mode="flat")
+        jax.block_until_ready(res.optimized)
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            res = opt.optimize_chunks_batched(staged, mode="flat")
+            jax.block_until_ready(res.optimized)
+            ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        rs = [opt.optimize_chunks_batched(staged, mode="flat")
+              for _ in range(4)]
+        for r in rs:
+            jax.block_until_ready(r.optimized)
+        pipe = (time.perf_counter() - t0) / 4
+        mean = float(np.mean(np.asarray(res.optimized)))
+        rec = {
+            "chunks": n_chunks, "unroll": unroll, "windows": wins,
+            "windows_per_sec": round(wins / min(ts), 1),
+            "best_s": round(min(ts), 4),
+            "median_s": round(sorted(ts)[len(ts) // 2], 4),
+            "pipelined_windows_per_sec": round(wins / pipe, 1),
+            "compile_s": round(compile_s, 1),
+            "optimized_mean": mean,
+        }
+        # trajectory identity: unroll must not change the math (same
+        # 40-chunk staged batch -> identical optimized output)
+        if n_chunks == chunksets[0]:
+            if ref_mean is None:
+                ref_mean = mean
+            else:
+                rec["mean_matches_unroll1"] = bool(
+                    abs(mean - ref_mean) < 1e-5)
+        out["results"][label] = rec
+        print(label, rec, flush=True)
+
+    # SANITY arm first: known production point, unroll=1 x chunksets[0]
+    run_arm(f"u1_c{chunksets[0]}", chunksets[0], 1)
+    sane = out["results"][f"u1_c{chunksets[0]}"]["best_s"]
+    out["sanity_best_s"] = sane
+    if chunksets[0] == 40 and sane > 0.13:
+        out["DEGRADED_SESSION"] = True
+        print("WARNING: sanity launch >2x the healthy 55-62 ms — degraded "
+              "claim; numbers invalid", flush=True)
+
+    for u in unrolls:
+        if u == 1:
+            continue
+        run_arm(f"u{u}_c{chunksets[0]}", chunksets[0], u)
+    for c in chunksets[1:]:
+        run_arm(f"u1_c{c}", c, 1)
+
+    dest = os.environ.get("AB_OUT", os.path.join(REPO,
+                                                 "unroll_chunks_ab.json"))
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -302,3 +302,39 @@ def test_circular_history_incompatible_with_direction_variants():
         with pytest.raises(ValueError, match="circular_history"):
             lbfgs_minimize_fixed(f, x0, max_iter=2,
                                  circular_history=True, **bad)
+
+
+def test_unroll_identical_trajectory():
+    """lax.scan unroll is a scheduling knob only — the solver trajectory
+    must be bitwise-stable across unroll factors (incl. a non-divisor of
+    max_iter), for both the vmapped and the explicitly-batched solver."""
+    from globalegomocap_tpu.optimize.lbfgs import (
+        lbfgs_minimize_fixed_batched)
+    rng = np.random.default_rng(11)
+    W = jnp.asarray(rng.normal(size=(10, 10)).astype(np.float32) * 0.4)
+    t = jnp.asarray(rng.normal(size=(10,)).astype(np.float32))
+
+    def loss(x):
+        return jnp.sum((W @ jnp.tanh(x) - t) ** 2) + 0.01 * jnp.sum(x ** 2)
+
+    x0 = jnp.asarray(rng.normal(size=(10,)).astype(np.float32))
+    r1 = lbfgs_minimize_fixed(loss, x0, max_iter=15, fused_probes=True)
+    for u in (2, 4):
+        ru = lbfgs_minimize_fixed(loss, x0, max_iter=15, fused_probes=True,
+                                  unroll=u)
+        np.testing.assert_array_equal(np.asarray(ru.x), np.asarray(r1.x))
+        assert float(ru.f) == float(r1.f)
+
+    # explicitly-batched variant: (R, B, d) objective
+    xb = jnp.asarray(rng.normal(size=(4, 10)).astype(np.float32))
+
+    def vg_batch(z3):
+        def be(z3_):
+            return jax.vmap(jax.vmap(loss))(z3_)
+        vals, pull = jax.vjp(be, z3)
+        (gz,) = pull(jnp.ones_like(vals))
+        return vals, gz
+
+    b1 = lbfgs_minimize_fixed_batched(vg_batch, xb, max_iter=15)
+    b3 = lbfgs_minimize_fixed_batched(vg_batch, xb, max_iter=15, unroll=4)
+    np.testing.assert_array_equal(np.asarray(b3.x), np.asarray(b1.x))
