@@ -207,6 +207,14 @@ class OptimizeConfig:
     # degraded v2 corpus at ~15% speed cost, never affects clean corpora
     robust_tier_on_guard: bool = True
     merge: bool = True
+    # post-solve window merging as ONE precomputed (covered, W*T) matmul
+    # per merged field instead of scatter-add/count/divide dispatches,
+    # with the final gaussian smoothing folded into the optimized field's
+    # matrix (both are linear maps along time with static coefficients —
+    # exact re-association, tests/test_window_metrics.py).  The launch
+    # intercept is dispatch-bound (intercept_probe_r3.json: merge+smooth
+    # 0.81 ms of the ~8 ms in-program intercept), so fewer kernels win.
+    matmul_merge: bool = True
     compute_dtype: str = "float32"
 
 

@@ -29,10 +29,11 @@ from globalegomocap_tpu.ops import fisheye
 from globalegomocap_tpu.ops.filtering import gaussian_filter1d
 from globalegomocap_tpu.ops.skeleton import mean_bone_lengths
 from globalegomocap_tpu.ops.transforms import (
-    relative_global_pose, relative_to_global_pose)
+    relative_global_pose, relative_to_global_pose, transform_pose)
 from globalegomocap_tpu.optimize.lbfgs import (
     lbfgs_minimize, lbfgs_minimize_fixed, adam_minimize)
-from globalegomocap_tpu.optimize.window import slice_windows, merge_windows
+from globalegomocap_tpu.optimize.window import (
+    slice_windows, merge_windows, merge_windows_matmul)
 
 
 class ChunkResult(NamedTuple):
@@ -458,11 +459,14 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
         residual=cfg.energy.local_residual)
 
     # ---- lift to relative-global and world frames ----------------------
-    est_rel = relative_global_pose(win_local, win_cam)
+    # world lifts go straight through the per-frame camera matrices:
+    # cam0 . (inv(cam0) . C_i) == C_i, so the relative hop is only
+    # materialized where stage 2 actually consumes it (mid_rel) — the
+    # launch intercept is dispatch-bound (intercept_probe_r3.json)
     mid_rel = relative_global_pose(mid_local_win, win_cam)
     cam0 = win_cam[:, 0]
-    est_world = relative_to_global_pose(est_rel, cam0)
-    mid_world = relative_to_global_pose(mid_rel, cam0)
+    est_world = transform_pose(win_local, win_cam)
+    mid_world = transform_pose(mid_local_win, win_cam)
 
     # ---- stage 2: relative-global pose, reprojection off ---------------
     opt_rel = optimize_stage(
@@ -471,15 +475,26 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
     opt_world = relative_to_global_pose(opt_rel, cam0)
 
     # ---- merge overlapping windows -------------------------------------
+    # matmul_merge: each merge is ONE matmul against a static
+    # (covered, W*T) matrix, with the final gaussian smoothing folded
+    # into the optimized field's matrix (exact re-association)
+    fold_sigma = (cfg.final_smooth_sigma
+                  if (cfg.matmul_merge and cfg.final_smooth
+                      and cfg.final_smooth_method == "gaussian") else 0.0)
+
+    def mg(x, sigma=0.0):
+        return (merge_windows_matmul(x, stride, sigma) if cfg.matmul_merge
+                else merge_windows(x, stride))
+
     merged = ChunkResult(
-        estimated=merge_windows(est_world, stride),
-        mid=merge_windows(mid_world, stride),
-        mid_local=merge_windows(mid_local_win, stride),
-        optimized=merge_windows(opt_world, stride),
-        gt=merge_windows(win_gt, stride),
+        estimated=mg(est_world),
+        mid=mg(mid_world),
+        mid_local=mg(mid_local_win),
+        optimized=mg(opt_world, fold_sigma),
+        gt=mg(win_gt),
     )
 
-    if cfg.final_smooth:
+    if cfg.final_smooth and fold_sigma == 0.0:
         if cfg.final_smooth_method == "one_euro":
             from globalegomocap_tpu.ops.filtering import one_euro_filter
             n = merged.optimized.shape[0]
@@ -558,29 +573,40 @@ def optimize_chunks_flat(model: ConvVAE, local_variables,
                                origins=f_org, full_hw=full_hw,
                                residual=cfg.energy.local_residual)
 
-    est_rel = relative_global_pose(f_local, f_cam)
+    # world lifts go straight through the per-frame camera matrices
+    # (cam0 . (inv(cam0) . C_i) == C_i); only stage 2's anchor needs the
+    # relative hop — see optimize_chunk
     mid_rel = relative_global_pose(mid_local, f_cam)
     cam0 = f_cam[:, 0]
-    est_world = relative_to_global_pose(est_rel, cam0)
-    mid_world = relative_to_global_pose(mid_rel, cam0)
+    est_world = transform_pose(f_local, f_cam)
+    mid_world = transform_pose(mid_local, f_cam)
 
     opt_rel = optimize_stage(model, global_variables, mid_rel, f_heat,
                              bl_flat, camera, global_w, False, cfg,
                              residual=cfg.energy.global_residual)
     opt_world = relative_to_global_pose(opt_rel, cam0)
 
-    def unflat_merge(x):
+    fold_sigma = (cfg.final_smooth_sigma
+                  if (cfg.matmul_merge and cfg.final_smooth
+                      and cfg.final_smooth_method == "gaussian") else 0.0)
+
+    def unflat_merge(x, sigma=0.0):
         per_chunk = x.reshape((c, w_per) + x.shape[1:])
+        if cfg.matmul_merge:
+            # constant merge matrix under vmap -> ONE batched matmul
+            return jax.vmap(
+                lambda wnd: merge_windows_matmul(wnd, stride, sigma))(
+                per_chunk)
         return jax.vmap(lambda wnd: merge_windows(wnd, stride))(per_chunk)
 
     merged = ChunkResult(
         estimated=unflat_merge(est_world),
         mid=unflat_merge(mid_world),
         mid_local=unflat_merge(mid_local),
-        optimized=unflat_merge(opt_world),
-        gt=jax.vmap(lambda wnd: merge_windows(wnd, stride))(win_gt),
+        optimized=unflat_merge(opt_world, fold_sigma),
+        gt=unflat_merge(win_gt.reshape((c * w_per,) + win_gt.shape[2:])),
     )
-    if cfg.final_smooth:
+    if cfg.final_smooth and fold_sigma == 0.0:
         if cfg.final_smooth_method == "one_euro":
             from globalegomocap_tpu.ops.filtering import one_euro_filter
             n = merged.optimized.shape[1]

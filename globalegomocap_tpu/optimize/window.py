@@ -13,6 +13,9 @@ directions are single gathers/scatters:
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,6 +49,58 @@ def slice_windows(seq: jnp.ndarray, seq_len: int = 10,
     idx = window_indices(seq.shape[0], seq_len, stride)
     return jnp.take(seq, jnp.asarray(idx.reshape(-1)), axis=0).reshape(
         idx.shape + seq.shape[1:])
+
+
+@functools.lru_cache(maxsize=None)
+def merge_matrix(w: int, t: int, stride: int = 8,
+                 smooth_sigma: float = 0.0) -> np.ndarray:
+    """The (covered_frames, W*T) matrix M with `merged = M @ flat(windows)`
+    equal to `merge_windows` (scatter-mean of overlapping frames) — and,
+    when smooth_sigma > 0, with the final gaussian time-smoothing FOLDED
+    in (both are linear maps along time with static coefficients, so
+    S @ (M @ x) = (S @ M) @ x exactly).
+
+    Why a matmul: the scatter-add/count/divide (+ separate smoothing
+    conv) cost several dispatches per merged field on a launch whose
+    intercept is dispatch-bound (intercept_probe_r3.json); one small MXU
+    matmul replaces them.  The smoothing block is built by pushing the
+    identity through `ops.filtering.gaussian_filter1d` itself, so its
+    edge handling is identical by construction.
+    """
+    n = (w - 1) * stride + t
+    idx = window_indices(n, t, stride).reshape(-1)          # (w*t,)
+    m = np.zeros((n, w * t), np.float32)
+    m[idx, np.arange(w * t)] = 1.0
+    m /= m.sum(axis=1, keepdims=True)                       # scatter-MEAN
+    if smooth_sigma > 0.0:
+        # pure-numpy replica of ops.filtering.gaussian_filter1d applied
+        # to the identity (same kernel + 'symmetric' padding), so this
+        # stays host-side even when called under an outer jit trace
+        from globalegomocap_tpu.ops.filtering import _gaussian_kernel
+        k = _gaussian_kernel(smooth_sigma, 4.0)
+        r = (len(k) - 1) // 2
+        padded = np.pad(np.eye(n, dtype=np.float32),
+                        [(r, r), (0, 0)], mode="symmetric")
+        s = np.zeros((n, n), np.float32)
+        for i in range(len(k)):
+            s += k[i] * padded[i:i + n]
+        m = s @ m
+    return m
+
+
+def merge_windows_matmul(windows: jnp.ndarray, stride: int = 8,
+                         smooth_sigma: float = 0.0) -> jnp.ndarray:
+    """`merge_windows` (optionally + final gaussian smoothing) as ONE
+    matmul.  Same signature/semantics as `merge_windows`; under an outer
+    vmap (per-chunk) the constant matrix makes this a single batched
+    matmul.  Geometry must not run at the TPU's default bf16 matmul
+    precision (millimetre metrics on metre-scale poses), hence HIGHEST.
+    """
+    w, t = windows.shape[0], windows.shape[1]
+    m = jnp.asarray(merge_matrix(w, t, stride, smooth_sigma))
+    flat = windows.reshape(w * t, -1).astype(jnp.float32)
+    out = jnp.matmul(m, flat, precision=jax.lax.Precision.HIGHEST)
+    return out.reshape((m.shape[0],) + windows.shape[2:])
 
 
 def merge_windows(windows: jnp.ndarray, stride: int = 8) -> jnp.ndarray:

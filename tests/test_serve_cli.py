@@ -166,3 +166,45 @@ def test_serve_one_shot_emits_load_error(tmp_path, capsys):
     assert n == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["sequence"] == "corrupt" and "error" in rec
+
+def test_serve_solver_flags_reach_config(tmp_path, monkeypatch):
+    """The serve CLI inherits the optimize parser's solver flags; it must
+    actually plumb them into SolverConfig (it silently dropped
+    fused_energy/circular_history/unroll/init before round 3)."""
+    from globalegomocap_tpu.models.conv_vae import ConvVAE
+    from globalegomocap_tpu.models.checkpoint import save_msgpack
+    import globalegomocap_tpu.cli.serve as serve_mod
+
+    m = ConvVAE(latent_dim=16, seq_len=10, hidden_dims=(8, 8, 16, 16, 32))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    ckpt = str(tmp_path / "prior.msgpack")
+    save_msgpack(v, ckpt)
+
+    captured = {}
+
+    class _Capture(Exception):
+        pass
+
+    def fake_opt(model, lv, gv, cfg):
+        captured["cfg"] = cfg
+        raise _Capture
+
+    # serve.main imports SequenceOptimizer from the driver module inside
+    # the function body — patch it at its source
+    monkeypatch.setattr(
+        "globalegomocap_tpu.optimize.driver.SequenceOptimizer", fake_opt)
+    root = tmp_path / "incoming"
+    root.mkdir()
+    try:
+        serve_mod.main(["--data_root", str(root), "--local_ckpt", ckpt,
+                        "--global_ckpt", ckpt, "--latent_dim", "16",
+                        "--hidden_dims", "8,8,16,16,32",
+                        "--solver", "lbfgs_fixed", "--fused_probes", "true",
+                        "--fused_energy", "true", "--unroll", "5",
+                        "--circular_history", "true",
+                        "--init", "sample", "--init_seed", "7"])
+    except _Capture:
+        pass
+    s = captured["cfg"].solver
+    assert s.fused_energy and s.fused_probes and s.circular_history
+    assert s.unroll == 5 and s.init == "sample" and s.init_seed == 7

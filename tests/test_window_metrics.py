@@ -115,3 +115,64 @@ class TestMetrics:
                                               jnp.asarray(gt[i])))
             np.testing.assert_allclose(batched[i], single, rtol=1e-4,
                                        atol=1e-5)
+
+
+class TestMatmulMerge:
+    """merge_windows_matmul must be an exact re-association of
+    merge_windows (+ the optional folded gaussian smoothing)."""
+
+    def test_matches_scatter_merge(self):
+        from globalegomocap_tpu.optimize.window import merge_windows_matmul
+        rng = np.random.default_rng(3)
+        for w, t, stride in ((12, 10, 8), (5, 10, 5), (1, 10, 8),
+                             (7, 6, 3)):
+            x = jnp.asarray(rng.normal(size=(w, t, 15, 3)).astype(
+                np.float32))
+            ref = merge_windows(x, stride)
+            got = merge_windows_matmul(x, stride)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_folded_smoothing_matches_sequential(self):
+        from globalegomocap_tpu.optimize.window import merge_windows_matmul
+        from globalegomocap_tpu.ops.filtering import gaussian_filter1d
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(12, 10, 15, 3)).astype(np.float32))
+        ref = gaussian_filter1d(merge_windows(x, 8), 1.0, axis=0)
+        got = merge_windows_matmul(x, 8, smooth_sigma=1.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_pipeline_matmul_merge_equality(self):
+        """The full two-stage pipeline with matmul_merge on/off and the
+        direct-camera world lift must agree to float tolerance."""
+        import jax
+        from dataclasses import replace
+        from globalegomocap_tpu.config import (
+            OptimizeConfig, PriorConfig, SolverConfig)
+        from globalegomocap_tpu.data.synthetic import synthetic_chunk
+        from globalegomocap_tpu.optimize.driver import (
+            SequenceOptimizer, build_model)
+        from globalegomocap_tpu.data.test_data import TestChunk
+
+        base = OptimizeConfig(
+            prior=PriorConfig(latent_dim=16, seq_len=10,
+                              hidden_dims=(8, 8, 16, 16, 32)),
+            solver=SolverConfig(method="lbfgs_fixed", max_iter=3,
+                                history_size=3, fused_probes=True),
+            sampling_impl="dense", heatmap_crop=8, fold_bn=True,
+            decoder_impl="shift")
+        model = build_model(base)
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)),
+                       False)
+        chunk = TestChunk(*synthetic_chunk(26, seed=0))
+        outs = {}
+        for mm in (True, False):
+            cfg = replace(base, matmul_merge=mm)
+            opt = SequenceOptimizer(model, v, v, cfg)
+            outs[mm] = opt.optimize_chunk(chunk)
+        for field in ("estimated", "mid", "mid_local", "optimized", "gt"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(outs[True], field)),
+                np.asarray(getattr(outs[False], field)),
+                rtol=1e-4, atol=1e-5, err_msg=field)
