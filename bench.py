@@ -45,12 +45,14 @@ MODE = os.environ.get("BENCH_MODE", "flat")
 # measured 529 vs 504 windows/s on 1x v5e, so default ON
 DENSE_DECODER = os.environ.get("BENCH_DENSE_DECODER", "1") == "1"
 # '' | 'conv' | 'dense' | 'shift' — overrides DENSE_DECODER when set.
-# 'shift' (3 shift-matmuls per conv layer) is the measured round-2 winner:
-# 1095.5 vs 869.9 windows/s same-session vs the banded-matmul decoder
-# (perf_levers_r2.json) — band-matmul kernel economy without the band's
-# ~3.3x FLOP / ~33x weight-traffic inflation; exact re-association
-# (tests/test_dense_decoder.py)
-DECODER_IMPL = os.environ.get("BENCH_DECODER_IMPL", "shift")
+# The verdict has now flipped TWICE as the surrounding bottlenecks moved:
+# round 1 dense>conv, round 2 shift>dense (perf_levers_r2.json, 1095.5 vs
+# 869.9), and at the round-3 operating point (fused energy kernel +
+# unroll-5 solver scan) the PLAIN XLA CONV stack wins the rematch:
+# 10267 vs 9663 w/s synced / 14103 vs 13015 pipelined same-session
+# (decoder_rematch_ab.json; shift_bf16 ties conv within noise).  conv is
+# also the exact reference formulation — default since round 3.
+DECODER_IMPL = os.environ.get("BENCH_DECODER_IMPL", "conv")
 # 'bfloat16' halves dense/shift decoder weight streaming
 DECODER_DTYPE = os.environ.get("BENCH_DECODER_DTYPE", "float32")
 # fixed solver: fold the accepted-point value_and_grad into the candidate
@@ -104,6 +106,15 @@ HEATMAP_CROP = int(os.environ.get("BENCH_HEATMAP_CROP", "8"))
 # unroll<=5 (8 drifts in the last float digit and compiles 134 s — not
 # worth it)
 UNROLL = int(os.environ.get("BENCH_UNROLL", "5"))
+# stage-2 (global) iteration budget: the residual global stage converges
+# from an EXACT init, and with trained priors its metrics are identical
+# to 5 decimals for any budget in {3..15} on BOTH the headline corpus
+# and the SLAM-noise v2 corpus (quality_iter_crop_s2iter*.json) — while
+# each stage-2 iteration costs ~0.9 ms of launch time: s2=3 measures
+# 12181 vs 10211 w/s synced / 17504 vs 14121 pipelined
+# (s2iter_speed_ab.json).  'none' = stage 2 shares max_iter (parity).
+_s2 = os.environ.get("BENCH_S2_ITER", "3")
+S2_ITER = None if _s2 == "none" else int(_s2)
 
 # torch-CPU reference-equivalent baseline (windows/sec, two stages), as
 # measured by scripts/measure_torch_baseline.py on this machine; see
@@ -153,7 +164,8 @@ def main():
                             history_size=HISTORY, max_iter=MAX_ITER,
                             fused_energy=FUSED_ENERGY,
                             step_candidates=STEP_CANDIDATES,
-                            unroll=UNROLL),
+                            unroll=UNROLL,
+                            global_max_iter=S2_ITER),
         energy=EnergyConfig(
             global_weight_3d=float(os.environ.get("BENCH_GLOBAL_W3D",
                                                   "1.0")),

@@ -106,6 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "eval for the whole post-decode energy "
                         "(value + analytic grad); needs reproj + "
                         "heatmap_crop + float32 maps")
+    p.add_argument("--global_max_iter", default=None, type=int,
+                   help="lbfgs_fixed: stage-2 (global) iteration "
+                        "override; None = same budget as stage 1 "
+                        "(reference parity).  The residual global stage "
+                        "converges from an exact init, so a smaller "
+                        "budget can hold quality at lower latency")
     p.add_argument("--unroll", default=1, type=int,
                    help="lbfgs_fixed: lax.scan unroll factor for the "
                         "iteration loop (scheduling-only — outputs are "
@@ -174,6 +180,7 @@ def main(argv=None):
                             circular_history=args.circular_history,
                             fused_energy=args.fused_energy,
                             unroll=args.unroll,
+                            global_max_iter=args.global_max_iter,
                             init=args.init, init_seed=args.init_seed),
         sampling_impl=args.sampling,
         heatmap_dtype=args.heatmap_dtype,

@@ -83,6 +83,13 @@ class SolverConfig:
     # us; iter_decomp_r3.json), so unrolling lets XLA fuse across
     # iteration boundaries at the cost of program size / compile time.
     unroll: int = 1
+    # stage-2 (global) iteration override: None = max_iter (reference
+    # parity — both stages run the same budget, optimizer.py:261).  The
+    # residual global stage makes small tangent-space corrections from an
+    # exact init, so it can converge in fewer iterations than the local
+    # stage; each stage-2 iteration costs ~0.9 ms of launch time
+    # (iter_decomp_r3.json).
+    global_max_iter: int | None = None
 
 
 @dataclass(frozen=True)

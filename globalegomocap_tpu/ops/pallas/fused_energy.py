@@ -279,7 +279,11 @@ def _energy_and_grad(pose_rt, anchor_t, crops, ox, oy, bone, wvec, poly,
     fh, fw = full_hw
     sx = (fw - 1) / (2.0 * half_extent)
     sy = (fh - 1) / (2.0 * half_extent)
-    blk = min(BLOCK, b)
+    # Mosaic requires the block's second-to-last dim (the window rows of
+    # the (blk, 1) energy output) to be a multiple of 8 (or the full
+    # array dim): round the block UP to a multiple of 8 and let the
+    # padding absorb the remainder (headline-sized launches hit b=60)
+    blk = min(BLOCK, -(-b // 8) * 8)
     pad = (-b) % blk
     if pad:
         zf = lambda a, n, ax: jnp.concatenate(  # noqa: E731
@@ -385,7 +389,9 @@ def _energy_and_grad_noreproj(pose_rt, anchor_t, bone, wvec, t, j):
     pallas_call; context indexed by the window block only (probe rows
     re-read it — see `_energy_and_grad`)."""
     r, b, _, L = pose_rt.shape
-    blk = min(NR_BLOCK, b)
+    # block rows must be a multiple of 8 (Mosaic last-two-dims rule on
+    # the (blk, 1) energy output); see _energy_and_grad
+    blk = min(NR_BLOCK, -(-b // 8) * 8)
     pad = (-b) % blk
     if pad:
         zf = lambda a, n, ax: jnp.concatenate(  # noqa: E731

@@ -81,6 +81,17 @@ def _solve(cfg: OptimizeConfig, loss, z0):
         tolerance_grad=s.tolerance_grad, max_ls_evals=s.max_ls_evals).x
 
 
+def _stage2_cfg(cfg: OptimizeConfig) -> OptimizeConfig:
+    """Apply the stage-2 solver overrides (solver.global_max_iter): the
+    residual global stage converges from an exact init, so its iteration
+    budget can be decoupled from the local stage's."""
+    if cfg.solver.global_max_iter is None:
+        return cfg
+    from dataclasses import replace as _rp
+    return _rp(cfg, solver=_rp(cfg.solver,
+                               max_iter=cfg.solver.global_max_iter))
+
+
 def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
                    mean_bl, camera, weights: EnergyWeights,
                    use_reproj: bool, cfg: OptimizeConfig,
@@ -471,7 +482,8 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
     # ---- stage 2: relative-global pose, reprojection off ---------------
     opt_rel = optimize_stage(
         model, global_variables, mid_rel, win_heat, win_bl, camera,
-        global_w, False, cfg, residual=cfg.energy.global_residual)
+        global_w, False, _stage2_cfg(cfg),
+        residual=cfg.energy.global_residual)
     opt_world = relative_to_global_pose(opt_rel, cam0)
 
     # ---- merge overlapping windows -------------------------------------
@@ -582,7 +594,8 @@ def optimize_chunks_flat(model: ConvVAE, local_variables,
     mid_world = transform_pose(mid_local, f_cam)
 
     opt_rel = optimize_stage(model, global_variables, mid_rel, f_heat,
-                             bl_flat, camera, global_w, False, cfg,
+                             bl_flat, camera, global_w, False,
+                             _stage2_cfg(cfg),
                              residual=cfg.energy.global_residual)
     opt_world = relative_to_global_pose(opt_rel, cam0)
 

@@ -130,7 +130,7 @@ def main():
 
     def measure(label, max_iter, crop, history=10,
                 candidates=(1.0, 0.5, 0.1, 0.02), fused_energy=False,
-                residual=False, s1_residual=False):
+                residual=False, s1_residual=False, s2_iter=None):
         from globalegomocap_tpu.config import EnergyConfig
         rscale = float(os.environ.get("QIC_REPROJ_SCALE", "1.0"))
         cfg = OptimizeConfig(
@@ -142,9 +142,13 @@ def main():
             solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
                                 history_size=history, max_iter=max_iter,
                                 step_candidates=tuple(candidates),
-                                fused_energy=fused_energy),
+                                fused_energy=fused_energy,
+                                global_max_iter=s2_iter,
+                                unroll=int(os.environ.get("QIC_UNROLL",
+                                                          "5"))),
             sampling_impl="dense", fold_bn=True, dense_decoder=True,
-            decoder_impl="shift", heatmap_crop=crop)
+            decoder_impl=os.environ.get("QIC_DECODER", "conv"),
+            heatmap_crop=crop)
         opt = SequenceOptimizer(build_model(cfg), local_vars,
                                 global_vars, cfg)
         staged = opt.stage(chunks)
@@ -195,6 +199,11 @@ def main():
         suffix = os.environ.get("QIC_ONLY", "")
         if corpus == "v2j":
             suffix = f"{suffix}_jit" if suffix else "jit"
+        elif corpus != "v1" and suffix not in ("", corpus) \
+                and not suffix.startswith(corpus):
+            # arm sets runnable on multiple corpora (e.g. s2iter) must not
+            # overwrite each other's artifacts
+            suffix = f"{suffix}_{corpus}"
         if regime != "v1":
             suffix = f"{suffix}_p{regime}" if suffix else f"p{regime}"
         name = f"quality_iter_crop_{suffix}.json" if suffix \
@@ -203,6 +212,17 @@ def main():
             json.dump(results, f, indent=1)
 
     only = os.environ.get("QIC_ONLY", "")
+    if only == "s2iter":
+        # stage-2 iteration budget (solver.global_max_iter): the residual
+        # global stage starts EXACT at its init, so its corrections may
+        # converge well before the local stage's 15 iterations — each
+        # stage-2 iteration costs ~0.9 ms of launch time
+        # (iter_decomp_r3.json).  Quality gates decide.
+        for s2 in (15, 10, 8, 5, 3):
+            measure(f"iter15_s2_{s2}_crop8_m5_K2_fused_res", 15, 8,
+                    history=5, candidates=(1.0, 0.1), fused_energy=True,
+                    residual=True, s2_iter=s2)
+        return
     if only == "v2":
         # re-validate the round-2 defaults on the v2 corpus (+ the fused
         # mega-kernel path at the production operating point)

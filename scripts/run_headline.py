@@ -141,10 +141,24 @@ def main():
                                              # (outputs bitwise-identical,
                                              # unroll_chunks_ab.json)
                                              unroll=int(os.environ.get(
-                                                 "HEADLINE_UNROLL", "5"))),
+                                                 "HEADLINE_UNROLL", "5")),
+                                             # stage-2 budget: metrics
+                                             # identical 3..15 on both
+                                             # corpora (s2iter artifacts)
+                                             global_max_iter=(
+                                                 None if os.environ.get(
+                                                     "HEADLINE_S2_ITER",
+                                                     "3") == "none"
+                                                 else int(os.environ.get(
+                                                     "HEADLINE_S2_ITER",
+                                                     "3")))),
                          sampling_impl="dense", heatmap_crop=16,
                          fold_bn=True, dense_decoder=True,
-                         decoder_impl="shift")
+                         # conv wins the round-3 decoder rematch
+                         # (decoder_rematch_ab.json) and is the exact
+                         # reference formulation
+                         decoder_impl=os.environ.get("HEADLINE_DECODER",
+                                                     "conv"))
     opt = SequenceOptimizer(build_model(cfg), local_vars, global_vars, cfg)
 
     # 5 sequences x 5 chunks x 100 frames (the reference's scale)

@@ -57,9 +57,15 @@ def main():
                             step_candidates=(1.0, 0.1),
                             fused_energy=fused,
                             unroll=int(os.environ.get("SERVE_UNROLL",
-                                                      "5"))),
+                                                      "5")),
+                            global_max_iter=(
+                                None if os.environ.get("SERVE_S2_ITER",
+                                                       "3") == "none"
+                                else int(os.environ.get("SERVE_S2_ITER",
+                                                        "3")))),
         sampling_impl="dense", fold_bn=True, dense_decoder=True,
-        decoder_impl="shift", heatmap_crop=8)
+        decoder_impl=os.environ.get("SERVE_DECODER", "conv"),
+        heatmap_crop=8)
     model = build_model(cfg)
     x0 = jnp.zeros((1, 10, 45))
     v1 = model.init(jax.random.PRNGKey(0), x0, False)

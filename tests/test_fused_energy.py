@@ -463,3 +463,34 @@ def test_stage1_residual_fused_matches_xla_batched():
                                    full_hw=full_hw, residual=True))
     np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_noreproj_kernel_headline_batch_shape():
+    """Regression: b=60 (the headline's 5-chunk staged batch) is NOT a
+    multiple of 8 — the kernel block must round UP to a Mosaic-legal
+    multiple of 8 and pad, not shrink to b (blk=60 failed TPU lowering:
+    'last two dims divisible by 8/128').  Numerics of the rounded+padded
+    path are verified against the XLA energy here (interpret mode); the
+    TPU lowering itself is exercised by scripts/run_headline.py."""
+    from globalegomocap_tpu.ops.pallas.fused_energy import (
+        fused_stage_energy_noreproj)
+    camera = fisheye.default_camera("egosyn")
+    w = EnergyWeights.create(weight_3d=1.0, smooth=0.001,
+                             bone_length=0.01, vae=0.002, reproj=0.0)
+    for b in (60, 6):
+        pose, anchor, _, _, bone = _random_inputs(b, seed=5)
+        pose_rt, anchor_t, _, _, _, bone_t = _to_kernel_layout(
+            pose, anchor, jnp.zeros((b, T, J, K, K)),
+            jnp.zeros((b, T, J, 2)), bone)
+        wvec = _ctx(camera, w)[0]
+        # R=2 probe rows like the production line search
+        pr2 = jnp.concatenate([pose_rt, pose_rt * 1.01], axis=0)
+        e_kernel = fused_stage_energy_noreproj(pr2, anchor_t, bone_t,
+                                               wvec, T, J)
+        e_xla = jax.vmap(
+            lambda pp, a, b_: total_energy_from_pose(
+                pp, a, b_, None, camera, w, False))(pose, anchor, bone)
+        np.testing.assert_allclose(np.asarray(e_kernel[0]),
+                                   np.asarray(e_xla),
+                                   rtol=2e-5, atol=1e-5)
+        assert e_kernel.shape == (2, b)

@@ -316,3 +316,43 @@ class TestResidualGlobalStage:
         errors, est, mid_local, opt, gt = opt_r.run(chunk)
         assert np.all(np.isfinite(opt))
         assert np.isfinite(errors["optimized_global_mpjpe"])
+
+
+def test_global_max_iter_override():
+    """solver.global_max_iter only changes stage 2: None == same value as
+    max_iter (identical results), and a smaller budget changes only the
+    optimized field (estimated/mid are stage-1 outputs)."""
+    import jax
+    import numpy as np
+    from dataclasses import replace
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, PriorConfig, SolverConfig)
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.data.test_data import TestChunk
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model)
+
+    base = OptimizeConfig(
+        prior=PriorConfig(latent_dim=16, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=4,
+                            history_size=3, fused_probes=True),
+        sampling_impl="dense", heatmap_crop=8, fold_bn=True,
+        decoder_impl="shift")
+    model = build_model(base)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    chunk = TestChunk(*synthetic_chunk(26, seed=1))
+
+    outs = {}
+    for label, s2 in (("none", None), ("same", 4), ("short", 1)):
+        cfg = replace(base, solver=replace(base.solver,
+                                           global_max_iter=s2))
+        outs[label] = SequenceOptimizer(model, v, v, cfg).optimize_chunk(
+            chunk)
+    np.testing.assert_array_equal(np.asarray(outs["none"].optimized),
+                                  np.asarray(outs["same"].optimized))
+    for f in ("estimated", "mid", "mid_local", "gt"):
+        np.testing.assert_array_equal(np.asarray(getattr(outs["none"], f)),
+                                      np.asarray(getattr(outs["short"], f)))
+    assert np.abs(np.asarray(outs["none"].optimized)
+                  - np.asarray(outs["short"].optimized)).max() > 1e-6
