@@ -71,17 +71,18 @@ CIRCULAR_HISTORY = os.environ.get("BENCH_CIRCULAR_HISTORY", "0") == "1"
 # quality-verified with trained priors (quality_iter_crop_fused.json:
 # all tripwires + stage-2 gates pass, raw-global 0.03287 vs 0.0335 XLA)
 FUSED_ENERGY = os.environ.get("BENCH_FUSED_ENERGY", "1") == "1"
-# L-BFGS history size (the two-loop recursion and the history rolls scale
-# with it): m=5 wins once launch costs stopped masking it — 4695 vs 3958
-# w/s at batch 40 (perf_levers_r2e.json) — and passes every quality
-# tripwire with trained priors, marginally better than m=10
-# (quality_iter_crop_m5.json: raw-global 0.03815 vs 0.03821)
-HISTORY = int(os.environ.get("BENCH_HISTORY", "5"))
-# solver iterations per stage: 15 beats 25 on BOTH speed and quality with
-# trained full-size priors (quality_iter_crop.json: 2566 vs 1908 w/s,
-# raw-global 0.03807 vs 0.03899, all tripwires pass) — fewer energy
-# iterations keep the solution closer to the anchor
-MAX_ITER = int(os.environ.get("BENCH_MAX_ITER", "15"))
+# L-BFGS history size: m=3 at iter12 is the round-3 fast tier — BOTH
+# bone-aligned (0.02104 vs 0.02111) and raw-global (0.03085 vs 0.03172)
+# beat iter15/m5 on the clean corpus with trained priors
+# (quality_iter_crop_s1iter.json); the crop-mass guard restores the
+# robust tier (iter>=15, m>=10, K4) on degraded corpora where deeper
+# search wins (quality_iter_crop_s1iter_v2.json)
+HISTORY = int(os.environ.get("BENCH_HISTORY", "3"))
+# stage-1 solver iterations: the fewer-is-better trend (15 beat 25 in
+# round 2) continues to 12 on the clean corpus — and 12/m3 measures
+# 15077 vs 12163 w/s synced / 21783 vs 18088 pipelined
+# (s1tier_speed_ab.json).  Guard-tripped corpora go back to >=15.
+MAX_ITER = int(os.environ.get("BENCH_MAX_ITER", "12"))
 # parallel line-search candidates (fractions of lr): K=2 beats K=4 on the
 # headline metrics too (quality_iter_crop_k3.json: raw-global 0.03589 vs
 # 0.03815, camera 0.02873 vs 0.03127, aligned within 0.0005, tripwires

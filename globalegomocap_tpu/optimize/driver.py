@@ -104,11 +104,16 @@ class SequenceOptimizer:
         probability mass (multimodal / occlusion-flattened maps).
 
         When the guard trips and `robust_tier_on_guard` is set, the
-        solver ALSO switches to the robust tier (history 10, the 4
-        parity line-search candidates): on degraded/jerky corpora the
-        deeper search buys aligned accuracy — quality_iter_crop_v2_pv2:
-        aligned 0.03896 (m10/K4) vs 0.04162 (m5/K2) — while clean
-        corpora never trip the guard and keep the fast tier."""
+        solver ALSO switches to the robust tier (>=15 stage-1 iterations,
+        history 10, the 4 parity line-search candidates): on
+        degraded/jerky corpora the deeper search buys accuracy —
+        quality_iter_crop_v2_pv2: aligned 0.03896 (m10/K4) vs 0.04162
+        (m5/K2); quality_iter_crop_s1iter_v2: bone-aligned degrades
+        monotonically below 15 stage-1 iterations (0.04932 at 15 vs
+        0.05073 at 8) — while clean corpora never trip the guard and keep
+        the fast tier, where FEWER iterations measure better
+        (quality_iter_crop_s1iter: iter12/m3 bone 0.02104 AND raw
+        0.03085 both beat iter15/m5's 0.02111/0.03172)."""
         cfg = self.cfg
         if cov is not None and cov < cfg.heatmap_crop_min_mass:
             from dataclasses import replace as _rp
@@ -119,6 +124,7 @@ class SequenceOptimizer:
                 cfg = _rp(cfg, solver=_rp(
                     cfg.solver, history_size=max(cfg.solver.history_size,
                                                  10),
+                    max_iter=max(cfg.solver.max_iter, 15),
                     step_candidates=(1.0, 0.5, 0.1, 0.02)))
         return cfg
 

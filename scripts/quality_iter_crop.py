@@ -212,6 +212,18 @@ def main():
             json.dump(results, f, indent=1)
 
     only = os.environ.get("QIC_ONLY", "")
+    if only == "s1iter":
+        # stage-1 budget under the FULL round-3 production stack
+        # (fused + residual + s2=3 + conv decoder): the old fine grid
+        # (quality_iter_crop_fine.json) measured iter12 BETTER than
+        # iter15 on raw-global pre-residual — re-test now that stage 1
+        # is ~80% of the launch
+        for it, m in ((15, 5), (12, 5), (10, 5), (8, 5), (12, 3),
+                      (10, 3)):
+            measure(f"s1_{it}_m{m}_s2_3_fused_res", it, 8, history=m,
+                    candidates=(1.0, 0.1), fused_energy=True,
+                    residual=True, s2_iter=3)
+        return
     if only == "s2iter":
         # stage-2 iteration budget (solver.global_max_iter): the residual
         # global stage starts EXACT at its init, so its corrections may

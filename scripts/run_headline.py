@@ -133,8 +133,19 @@ def main():
                                              global_residual=residual),
                          solver=SolverConfig(method="lbfgs_fixed",
                                              fused_probes=True,
-                                             history_size=5,
-                                             max_iter=15,
+                                             # round-3 fast tier: 12/m3
+                                             # beats 15/m5 on BOTH metric
+                                             # families (s1iter artifact);
+                                             # the guard restores the
+                                             # robust tier on degraded
+                                             # corpora
+                                             history_size=int(
+                                                 os.environ.get(
+                                                     "HEADLINE_HISTORY",
+                                                     "3")),
+                                             max_iter=int(os.environ.get(
+                                                 "HEADLINE_MAX_ITER",
+                                                 "12")),
                                              fused_energy=fused,
                                              step_candidates=(1.0, 0.1),
                                              # scan unroll: scheduling-only

@@ -53,7 +53,10 @@ def main():
         prior=PriorConfig(latent_dim=2048, seq_len=10),
         energy=EnergyConfig(global_weight_3d=1.0, global_residual=True),
         solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
-                            history_size=5, max_iter=15,
+                            history_size=int(os.environ.get(
+                                "SERVE_HISTORY", "3")),
+                            max_iter=int(os.environ.get(
+                                "SERVE_MAX_ITER", "12")),
                             step_candidates=(1.0, 0.1),
                             fused_energy=fused,
                             unroll=int(os.environ.get("SERVE_UNROLL",

@@ -273,6 +273,12 @@ def test_staged_guard_fallback_stages_full_maps():
                           hidden_dims=(8, 8, 16, 16, 32)),
         solver=SolverConfig(method="lbfgs_fixed", max_iter=2,
                             history_size=2),
+        # this test checks STAGING semantics (no pre-crop on guard), so
+        # the guard's solver-tier switch (iter>=15/m>=10/K4, which would
+        # make the fallback arm differ from the explicit crop=0 arm by
+        # design) is opted out; the tier itself is covered by
+        # test_robustness.test_crop_guard_switches_to_robust_tier
+        robust_tier_on_guard=False,
         heatmap_crop=8)
     model = build_model(cfg)
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)

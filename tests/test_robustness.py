@@ -148,9 +148,14 @@ def test_crop_guard_switches_to_robust_tier():
     assert degraded.heatmap_crop == 0
     assert degraded.solver.history_size == 10
     assert len(degraded.solver.step_candidates) == 4
+    # the robust tier also restores a full stage-1 budget (bone-aligned
+    # degrades monotonically below 15 iterations on guard-tripped
+    # corpora — quality_iter_crop_s1iter_v2.json)
+    assert degraded.solver.max_iter == 15
 
     # opt-out keeps the fast tier on guard
     opt2 = SequenceOptimizer(model, v, v,
                              replace(cfg, robust_tier_on_guard=False))
     deg2 = opt2._effective_cfg(synthetic_chunk_v2(18, seed=1).heatmaps)
-    assert deg2.heatmap_crop == 0 and deg2.solver.history_size == 5
+    assert deg2.heatmap_crop == 0 and deg2.solver.history_size == 5 \
+        and deg2.solver.max_iter == 2
