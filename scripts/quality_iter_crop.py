@@ -212,6 +212,18 @@ def main():
             json.dump(results, f, indent=1)
 
     only = os.environ.get("QIC_ONLY", "")
+    if only == "kcand":
+        # line-search candidate count at the round-3 fast tier: K=2
+        # (1.0, 0.1) beat K=4 in round 2; K=1 halves the probe batch the
+        # kernels see per iteration (no fallback step if 1.0 fails
+        # Armijo — the iteration then keeps the carried point)
+        for cands, lbl in (((1.0, 0.1), "K2"), ((1.0,), "K1"),
+                           ((0.5,), "K1_half"), ((1.0, 0.5, 0.1, 0.02),
+                                                 "K4")):
+            measure(f"k_{lbl}_i12_m3_s2_3_fused_res", 12, 8, history=3,
+                    candidates=cands, fused_energy=True, residual=True,
+                    s2_iter=3)
+        return
     if only == "s1iter":
         # stage-1 budget under the FULL round-3 production stack
         # (fused + residual + s2=3 + conv decoder): the old fine grid
