@@ -20,13 +20,14 @@ import time
 import numpy as np
 
 SEED = 0
-# 56 chunks = 672 windows: the mega-kernel halved the per-iteration cost,
-# which moved the RTT/intercept-amortization optimum up from round 2's 40
-# chunks (unroll_chunks_ab2.json: 9639 w/s at 56 vs 9119 at 40 synced,
-# same-session; 80 is flat on synced and worse pipelined).  The PIPELINED
-# optimum stays at 40 (13556 vs 13005) — serving deployments that
-# overlap launches should prefer BENCH_CHUNKS=40.
-N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "56"))
+# 112 chunks = 1344 windows: every per-iteration cost cut (mega-kernel,
+# unroll, iter12/m3, s2=3) moves the RTT-amortization optimum up — the
+# round-3-final sweep (unroll_chunks_r3final*.json) measures 19837 w/s
+# synced / 26772 pipelined at u5_c112 vs 15077/21783 at c56; 160+ chunks
+# OOM the 16 GB HBM with the full-map staging pool resident.  Launch
+# latency is ~68 ms; latency-sensitive serving should stay at 40
+# (serving_bench.py does — its producer is host-staging-bound anyway).
+N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "112"))
 FRAMES_PER_CHUNK = 100
 # defaults are the measured-fastest configuration that passes the e2e
 # quality tests (see perf_sweep.json + tests/test_e2e_quality.py)

@@ -55,15 +55,23 @@ def main():
     chunksets = [int(x) for x in
                  os.environ.get("AB_CHUNKSETS", "40,56,80").split(",")]
 
+    # base = the CURRENT production defaults.  The committed
+    # unroll_chunks_ab*.json artifacts were measured at the r3-midpoint
+    # defaults (shift decoder, iter15/m5, shared stage-2 budget) — set
+    # AB_BASE=r3mid to reproduce those arms.
+    r3mid = os.environ.get("AB_BASE", "") == "r3mid"
     base = OptimizeConfig(
         prior=PriorConfig(latent_dim=2048, seq_len=10),
         energy=EnergyConfig(global_weight_3d=1.0, global_residual=True),
         solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
-                            history_size=5, max_iter=15,
+                            history_size=5 if r3mid else 3,
+                            max_iter=15 if r3mid else 12,
+                            global_max_iter=None if r3mid else 3,
                             step_candidates=(1.0, 0.1),
                             fused_energy=True),
         sampling_impl="dense", heatmap_crop=8,
-        fold_bn=True, dense_decoder=True, decoder_impl="shift")
+        fold_bn=True, dense_decoder=True,
+        decoder_impl="shift" if r3mid else "conv")
     model = build_model(base)
     x0 = jnp.zeros((1, 10, 45))
     v1 = model.init(jax.random.PRNGKey(0), x0, False)
@@ -125,7 +133,7 @@ def main():
     run_arm(f"u1_c{chunksets[0]}", chunksets[0], 1)
     sane = out["results"][f"u1_c{chunksets[0]}"]["best_s"]
     out["sanity_best_s"] = sane
-    if chunksets[0] == 40 and sane > 0.13:
+    if chunksets[0] == 40 and sane > 0.13 and r3mid:
         out["DEGRADED_SESSION"] = True
         print("WARNING: sanity launch >2x the healthy 55-62 ms — degraded "
               "claim; numbers invalid", flush=True)
@@ -134,8 +142,9 @@ def main():
         if u == 1:
             continue
         run_arm(f"u{u}_c{chunksets[0]}", chunksets[0], u)
+    cu = int(os.environ.get("AB_CHUNK_UNROLL", "1"))
     for c in chunksets[1:]:
-        run_arm(f"u1_c{c}", c, 1)
+        run_arm(f"u{cu}_c{c}", c, cu)
 
     dest = os.environ.get("AB_OUT", os.path.join(REPO,
                                                  "unroll_chunks_ab.json"))
