@@ -78,20 +78,37 @@ def main():
     v2 = model.init(jax.random.PRNGKey(1), x0, False)
 
     max_chunks = max(chunksets)
-    all_chunks = [TestChunk(*(jax.device_put(jnp.asarray(a))
-                              for a in synthetic_chunk(100, seed=i)))
-                  for i in range(max_chunks)]
+    if os.environ.get("AB_FREE_POOL", "0") == "1":
+        all_chunks = []        # built per-arm and freed after staging
+    else:
+        all_chunks = [TestChunk(*(jax.device_put(jnp.asarray(a))
+                                  for a in synthetic_chunk(100, seed=i)))
+                      for i in range(max_chunks)]
 
     out = {"results": {}}
     ref_mean = None
 
+    # AB_FREE_POOL=1: drop the raw full-map chunk pool after staging —
+    # production serving only keeps the staged crops resident; the pool
+    # is a bench-harness artifact that otherwise caps the batch at ~112
+    # chunks (2.8 GB of full maps + staged data in 16 GB HBM)
+    free_pool = os.environ.get("AB_FREE_POOL", "0") == "1"
+
     def run_arm(label, n_chunks, unroll):
-        nonlocal ref_mean
+        nonlocal ref_mean, all_chunks
         cfg = replace(base, solver=replace(base.solver, unroll=unroll))
         opt = SequenceOptimizer(model, v1, v2, cfg)
+        if free_pool:
+            all_chunks = [TestChunk(*(jax.device_put(jnp.asarray(a))
+                                      for a in synthetic_chunk(100,
+                                                               seed=i)))
+                          for i in range(n_chunks)]
         chunks = all_chunks[:n_chunks]
         wins = num_windows(100) * n_chunks
         staged = opt.stage(chunks)
+        if free_pool:
+            del chunks
+            all_chunks = []
         t0 = time.perf_counter()
         res = opt.optimize_chunks_batched(staged, mode="flat")
         jax.block_until_ready(res.optimized)
