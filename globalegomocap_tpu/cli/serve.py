@@ -68,7 +68,13 @@ def main(argv=None):
         energy=EnergyConfig(vae=args.vae, gmm=args.gmm, smooth=args.smooth,
                             bone_length=args.bone_length,
                             weight_3d=args.weight_3d,
-                            reproj=args.reproj_weight),
+                            reproj=args.reproj_weight,
+                            global_weight_3d=args.global_weight_3d,
+                            global_smooth=args.global_smooth,
+                            global_residual=args.global_residual,
+                            local_residual=args.local_residual,
+                            overlap_consistency=args.overlap_consistency,
+                            soft_smooth=args.soft_smooth),
         prior=PriorConfig(latent_dim=args.latent_dim, seq_len=args.seq_len,
                           hidden_dims=tuple(
                               int(x) for x in args.hidden_dims.split(","))),
@@ -77,6 +83,7 @@ def main(argv=None):
                             circular_history=args.circular_history,
                             fused_energy=args.fused_energy,
                             unroll=args.unroll,
+                            global_max_iter=args.global_max_iter,
                             init=args.init, init_seed=args.init_seed),
         sampling_impl=args.sampling, heatmap_dtype=args.heatmap_dtype,
         heatmap_crop=args.heatmap_crop, fold_bn=args.fold_bn,

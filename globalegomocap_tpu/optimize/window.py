@@ -100,7 +100,10 @@ def merge_windows_matmul(windows: jnp.ndarray, stride: int = 8,
     m = jnp.asarray(merge_matrix(w, t, stride, smooth_sigma))
     flat = windows.reshape(w * t, -1).astype(jnp.float32)
     out = jnp.matmul(m, flat, precision=jax.lax.Precision.HIGHEST)
-    return out.reshape((m.shape[0],) + windows.shape[2:])
+    # preserve the input dtype (merge_windows returns windows.dtype); the
+    # accumulation above stays f32 either way
+    return out.reshape((m.shape[0],) + windows.shape[2:]).astype(
+        windows.dtype)
 
 
 def merge_windows(windows: jnp.ndarray, stride: int = 8) -> jnp.ndarray:

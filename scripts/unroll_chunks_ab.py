@@ -146,14 +146,20 @@ def main():
         out["results"][label] = rec
         print(label, rec, flush=True)
 
-    # SANITY arm first: known production point, unroll=1 x chunksets[0]
+    # SANITY arm first: known config point, unroll=1 x chunksets[0].
+    # Healthy per-window launch time at u1 is ~0.10-0.13 ms/window for
+    # the r3-mid base and ~0.065-0.075 for the r3-final base (measured
+    # artifacts); >2x that means the degraded-claim regime (CLAUDE.md)
+    # and every number in this run is invalid.
     run_arm(f"u1_c{chunksets[0]}", chunksets[0], 1)
-    sane = out["results"][f"u1_c{chunksets[0]}"]["best_s"]
-    out["sanity_best_s"] = sane
-    if chunksets[0] == 40 and sane > 0.13 and r3mid:
+    first = out["results"][f"u1_c{chunksets[0]}"]
+    out["sanity_best_s"] = first["best_s"]
+    per_win_ms = 1e3 * first["best_s"] / first["windows"]
+    if per_win_ms > (0.26 if r3mid else 0.15):
         out["DEGRADED_SESSION"] = True
-        print("WARNING: sanity launch >2x the healthy 55-62 ms — degraded "
-              "claim; numbers invalid", flush=True)
+        print(f"WARNING: sanity arm {per_win_ms:.3f} ms/window is >2x the "
+              "healthy range — degraded claim; numbers invalid",
+              flush=True)
 
     for u in unrolls:
         if u == 1:

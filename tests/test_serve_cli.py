@@ -202,9 +202,15 @@ def test_serve_solver_flags_reach_config(tmp_path, monkeypatch):
                         "--solver", "lbfgs_fixed", "--fused_probes", "true",
                         "--fused_energy", "true", "--unroll", "5",
                         "--circular_history", "true",
+                        "--global_max_iter", "3",
+                        "--global_residual", "true",
+                        "--global_weight_3d", "1.0",
                         "--init", "sample", "--init_seed", "7"])
     except _Capture:
         pass
     s = captured["cfg"].solver
     assert s.fused_energy and s.fused_probes and s.circular_history
     assert s.unroll == 5 and s.init == "sample" and s.init_seed == 7
+    assert s.global_max_iter == 3
+    e = captured["cfg"].energy
+    assert e.global_residual and e.global_weight_3d == 1.0
