@@ -104,6 +104,15 @@ def main():
                 cam_noise={"drift_rot": 0.0, "drift_trans": 0.0,
                            "jitter_rot": 0.008, "jitter_trans": 0.008},
                 degrade={}, motion_scale=0.10, freq_range=(0.5, 2.5))
+    elif corpus == "camnoise":
+        # SLAM drift+jitter with CLEAN maps and normal motion (the
+        # stage2_experiment camnoise regime): the one cell where the
+        # crop guard does NOT trip, so the stage-1 FAST tier actually
+        # runs under camera noise — the tier-safety evidence the
+        # degraded-map corpora can't provide (their guard restores the
+        # robust tier anyway)
+        def mk(n, seed):
+            return synthetic_chunk(n, seed, cam_noise={})
     else:
         mk = synthetic_chunk
     chunks = [mk(100, seed=1000 * i + j)
