@@ -1,0 +1,148 @@
+"""Shared harness for the TPU speed A/B scripts.
+
+Every speed A/B in scripts/ measures the same arm shape: stage a batch of
+synthetic chunks, pay the compile on the first launch, take 10 synced
+repetitions (best + median), then a 4-deep pipelined pass (launches
+dispatched back-to-back, blocked on together — the serving overlap
+figure).  This module is that harness, deduplicated (code-review
+finding; the pre-dedup copies are preserved in git history alongside the
+artifacts they produced).
+
+Measurement rules baked in (CLAUDE.md):
+  * best-of-10 synced reps — the tunnel adds ~24 ms RTT with occasional
+    multi-ms jitter; min is the stable statistic.
+  * optimized_mean is recorded so arms that must be math-identical
+    (e.g. scan-unroll factors) can be checked for bitwise drift.
+  * sanity gating is the CALLER's job: the first arm should be a known
+    config point checked against its committed healthy range, because a
+    process started right after a crashed TPU claim can run ~13x slow
+    (degraded-claim trap) while completing without error.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def production_base(**overrides):
+    """The round-3 production OptimizeConfig (bench.py defaults): latent
+    2048, conv decoder, fold_bn, crop8, dense sampling, fused kernels,
+    residual stage 2 with a 3-iteration budget, iter12/m3 fast tier,
+    unroll 5.  Keyword overrides are applied to the top-level config;
+    pass solver=/energy= replacements for nested changes."""
+    from dataclasses import replace
+
+    from globalegomocap_tpu.config import (
+        EnergyConfig, OptimizeConfig, PriorConfig, SolverConfig)
+
+    base = OptimizeConfig(
+        prior=PriorConfig(latent_dim=2048, seq_len=10),
+        energy=EnergyConfig(global_weight_3d=1.0, global_residual=True),
+        solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
+                            history_size=3, max_iter=12,
+                            global_max_iter=3,
+                            step_candidates=(1.0, 0.1),
+                            fused_energy=True, unroll=5),
+        sampling_impl="dense", heatmap_crop=8,
+        fold_bn=True, dense_decoder=True, decoder_impl="conv")
+    return replace(base, **overrides) if overrides else base
+
+
+def build_prior_pair(base):
+    """(model, local_vars, global_vars) for a config — two independently
+    initialized priors, as the production driver holds."""
+    import jax
+    import jax.numpy as jnp
+
+    from globalegomocap_tpu.optimize.driver import build_model
+
+    model = build_model(base)
+    x0 = jnp.zeros((1, base.prior.seq_len, 45))
+    v1 = model.init(jax.random.PRNGKey(0), x0, False)
+    v2 = model.init(jax.random.PRNGKey(1), x0, False)
+    return model, v1, v2
+
+
+def make_pool(n_chunks: int, n_frames: int = 100, unique: int = 0):
+    """Device-resident synthetic chunk pool.  unique=N>0 builds only N
+    distinct chunks and cycles them (repeated entries bind the SAME device
+    buffer — bounded HBM + tunnel transfer; launch timing is
+    data-independent at static shapes, so speed sweeps may tile)."""
+    import jax
+    import jax.numpy as jnp
+
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.data.test_data import TestChunk
+
+    n_uniq = unique if unique > 0 else n_chunks
+    uniq = [TestChunk(*(jax.device_put(jnp.asarray(a))
+                        for a in synthetic_chunk(n_frames, seed=i)))
+            for i in range(min(n_uniq, n_chunks))]
+    return [uniq[i % len(uniq)] for i in range(n_chunks)]
+
+
+def time_arm(opt, staged, wins: int, reps: int = 10,
+             pipeline_depth: int = 4, mode: str = "flat",
+             return_result: bool = False):
+    """One measured arm: compile launch + `reps` synced launches +
+    one `pipeline_depth`-deep pipelined pass.  Returns the record the
+    committed A/B artifacts use (windows_per_sec is best-of-reps);
+    with return_result=True returns (record, optimized ndarray) so
+    callers can assert arms that must be math-identical."""
+    import jax
+
+    t0 = time.perf_counter()
+    res = opt.optimize_chunks_batched(staged, mode=mode)
+    jax.block_until_ready(res.optimized)
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = opt.optimize_chunks_batched(staged, mode=mode)
+        jax.block_until_ready(res.optimized)
+        ts.append(time.perf_counter() - t0)
+    rec = {
+        "windows_per_sec": round(wins / min(ts), 1),
+        "best_s": round(min(ts), 4),
+        "median_s": round(sorted(ts)[len(ts) // 2], 4),
+        "compile_s": round(compile_s, 1),
+        "optimized_mean": float(np.mean(np.asarray(res.optimized))),
+    }
+    if pipeline_depth > 1:
+        t0 = time.perf_counter()
+        rs = [opt.optimize_chunks_batched(staged, mode=mode)
+              for _ in range(pipeline_depth)]
+        for r in rs:
+            jax.block_until_ready(r.optimized)
+        pipe = (time.perf_counter() - t0) / pipeline_depth
+        rec["pipelined_windows_per_sec"] = round(wins / pipe, 1)
+    if return_result:
+        return rec, np.asarray(res.optimized)
+    return rec
+
+
+def run_arm(model, v1, v2, cfg, chunks, wins: int, **kw):
+    """Build the optimizer for `cfg`, stage `chunks`, and time the arm."""
+    from globalegomocap_tpu.optimize.driver import SequenceOptimizer
+
+    opt = SequenceOptimizer(model, v1, v2, cfg)
+    staged = opt.stage(chunks)
+    return time_arm(opt, staged, wins, **kw)
+
+
+def write_out(out: dict, default_name: str) -> str:
+    """Write the artifact JSON to AB_OUT or the repo root default."""
+    import json
+
+    dest = os.environ.get("AB_OUT", os.path.join(REPO, default_name))
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=1)
+    return dest
