@@ -20,14 +20,17 @@ import time
 import numpy as np
 
 SEED = 0
-# 112 chunks = 1344 windows: every per-iteration cost cut (mega-kernel,
-# unroll, iter12/m3, s2=3) moves the RTT-amortization optimum up — the
-# round-3-final sweep (unroll_chunks_r3final*.json) measures 19837 w/s
-# synced / 26772 pipelined at u5_c112 vs 15077/21783 at c56; 160+ chunks
-# OOM the 16 GB HBM with the full-map staging pool resident.  Launch
-# latency is ~68 ms; latency-sensitive serving should stay at 40
+# 320 chunks = 3840 windows: every per-iteration cost cut (mega-kernel,
+# unroll, iter12/m3, s2=3) moves the RTT-amortization optimum up, and the
+# flat staged-crop contract + freeing the raw pool after staging lifted
+# the old 112-chunk HBM bound.  unroll_chunks_flat*.json measures the
+# synced curve 18970 (c112) -> 19648 (c160) -> 20844 (c224) -> 22009
+# (c320) -> 22012 (c448, plateau); c640 OOMs the SOLVE program's temps
+# (18.9G).  Pipelined peaks at c112 (~26k) and sits ~24.8k at c320 — the
+# synced value is the headline metric, so c320 is the default.  Launch
+# latency is ~175 ms; latency-sensitive serving should stay at 40
 # (serving_bench.py does — its producer is host-staging-bound anyway).
-N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "112"))
+N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "320"))
 FRAMES_PER_CHUNK = 100
 # defaults are the measured-fastest configuration that passes the e2e
 # quality tests (see perf_sweep.json + tests/test_e2e_quality.py)
@@ -205,6 +208,13 @@ def main():
         # ~94 ms of a 237 ms launch); the timed region is the production
         # hot path — one program launch + one sync.
         staged = opt.stage(chunks)
+        # Free the raw full-map pool: the solve program reads only the
+        # staged (pre-cropped) arrays, and production serving likewise
+        # drops raw maps once staged.  Keeping ~25 MB/chunk of full maps
+        # resident was half of what bounded the batch at 112 chunks (the
+        # other half — staging-temp layout padding — is fixed by the
+        # flat staged-crop contract, see pipeline._unflatten_staged_crops).
+        del chunks
         bmode = "flat" if MODE == "flat" else "vmap"
 
         def run_all():

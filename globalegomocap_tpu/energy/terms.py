@@ -236,6 +236,45 @@ def crop_heatmaps_channels_last(heatmaps: jnp.ndarray, k: int):
     return crops, origins, (h, w)
 
 
+def crop_heatmaps_channels_last_np(heatmaps, k: int):
+    """Numpy mirror of `crop_heatmaps_channels_last` for HOST-side staging.
+
+    Serving ingests host-resident maps (the reference loads test_data.pkl
+    on the CPU — reference: optimizer.py:384-390); shipping full maps
+    through the slow host->device tunnel only to crop them 16-64x smaller
+    on device wastes the serving producer's time.  This mirror lets
+    stage(on_host=True) crop BEFORE the transfer, so only (F, k*k*J)
+    crops + (F, J, 2) origins cross the tunnel.
+
+    Bit-exact vs the jax version: the crop is a pure gather and
+    np.argmax/jnp.argmax share first-max tie-breaking.  Also returns the
+    crop-mass coverage ingredients (box mass per map, total mass per map)
+    so the host guard costs no extra full-map pass beyond one sum.
+
+    heatmaps: (..., H, W, J) -> (crops (..., k, k, J),
+    origins (..., J, 2) float32, (H, W), box (..., J), total (..., J)).
+    """
+    import numpy as np
+    heatmaps = np.asarray(heatmaps)
+    h, w = heatmaps.shape[-3], heatmaps.shape[-2]
+    k = min(int(k), h, w)
+    flat = heatmaps.reshape(heatmaps.shape[:-3] + (h * w,)
+                            + heatmaps.shape[-1:])
+    am = flat.argmax(axis=-2)                          # (..., J)
+    cy, cx = am // w, am % w
+    oy = np.clip(cy - k // 2, 0, h - k)
+    ox = np.clip(cx - k // 2, 0, w - k)
+    iy = oy[..., None, None, :] + np.arange(k)[:, None, None]
+    rows = np.take_along_axis(heatmaps, iy, axis=-3)   # (..., k, W, J)
+    ix = ox[..., None, None, :] + np.arange(k)[None, :, None]
+    crops = np.take_along_axis(rows, ix, axis=-2)      # (..., k, k, J)
+    origins = np.stack([oy, ox], axis=-1).astype(np.float32)
+    box = np.clip(crops, 0.0, None).sum(axis=(-3, -2), dtype=np.float32)
+    total = np.clip(heatmaps, 0.0, None).sum(axis=(-3, -2),
+                                             dtype=np.float32)
+    return crops, origins, (h, w), box, total
+
+
 def crop_mass_coverage(heatmaps, k: int):
     """Host-side guard for `crop_heatmaps`: per-map fraction of total
     (non-negative) probability mass retained by the k x k peak-centered

@@ -51,8 +51,11 @@ class StagedBatch:
     measured those at ~94 ms of a 237 ms launch — 40% of wall-clock)."""
     est: Any            # (C, F, 15, 3) stacked estimated_local
     cams: Any           # (C, F, 4, 4)
-    heat: Any           # (C, F, H, W, J) raw maps — or (C, F, k, k, J)
-                        # peak crops when pre-cropped at staging
+    heat: Any           # (C, F, H, W, J) raw maps — or FLAT (C, F, k*k*J)
+                        # peak crops when pre-cropped at staging (flat so
+                        # the staging program's temps keep a 2-D-minor
+                        # layout; solve programs reshape back in-jit — see
+                        # pipeline._unflatten_staged_crops)
     gt: Any             # (C, F, 15, 3)
     n_chunks: int       # pre-padding chunk count (slice results back)
     crop_coverage: float | None  # guard statistic, resolved at staging
@@ -154,7 +157,8 @@ class SequenceOptimizer:
             jnp.asarray(chunk.gt_global))
 
     def stage(self, chunks: list[TestChunk],
-              coverage: float | None = None) -> StagedBatch:
+              coverage: float | None = None,
+              on_host: bool = False) -> StagedBatch:
         """Pre-stage a batch of equal-length chunks for repeated hot
         solves: stack the four inputs into device arrays, pad the chunk
         axis to the device count (sharding never silently degrades;
@@ -173,7 +177,16 @@ class SequenceOptimizer:
         maps are cropped BEFORE stacking, so the full-size stacked maps
         (~1 GB at 40 chunks) are never materialized and the whole step
         is a single dispatch (serving_bench.json measured the unfused
-        five-dispatch version as the sustained-throughput bottleneck)."""
+        five-dispatch version as the sustained-throughput bottleneck).
+
+        on_host=True crops in NUMPY before any device transfer — the
+        host-ingest serving path.  Full maps are ~16-64x larger than
+        their peak crops, and the host->device tunnel is the serving
+        producer's bottleneck when chunks arrive host-resident (the
+        reference loads test_data.pkl on the CPU: optimizer.py:384-390);
+        cropping first means only (C, F, k*k*J) crops + origins cross.
+        Bit-exact vs device staging (the crop is a pure gather); the
+        crop-mass guard runs on host from the same pass."""
         from globalegomocap_tpu.parallel.mesh import pad_to_multiple
         if not chunks:
             raise ValueError("stage() needs at least one chunk")
@@ -183,6 +196,8 @@ class SequenceOptimizer:
                 f"{sorted({c.estimated_local.shape[0] for c in chunks})}); "
                 "use optimize_chunk per chunk or optimize_sequence_dir's "
                 "serial fallback for mixed lengths")
+        if on_host:
+            return self._stage_host(chunks, coverage)
         heat_l = [jnp.asarray(c.heatmaps) for c in chunks]
 
         if coverage is None:
@@ -204,7 +219,14 @@ class SequenceOptimizer:
                 if k > 0:
                     cr = [crop_heatmaps_channels_last(h, k)[:2]
                           for h in heat_l]
-                    heat = jnp.stack([c for c, _ in cr])
+                    # stage crops FLAT (C, F, k*k*J): a 5-D stacked output
+                    # forces layout {0,3,4,2,1} on every per-chunk crop
+                    # temp, padding 375 KB buffers 128x to 46.9 MB and
+                    # OOM-ing staging above ~112 chunks; the flat 3-D
+                    # output keeps temps 2-D-minor.  The solve programs
+                    # reshape back in-jit (pipeline._unflatten_staged_crops)
+                    heat = jnp.stack([c.reshape(c.shape[0], -1)
+                                      for c, _ in cr])
                     org = jnp.stack([o for _, o in cr])
                 else:
                     heat = jnp.stack(heat_l)
@@ -232,6 +254,65 @@ class SequenceOptimizer:
                 origins, _ = pad_to_multiple(origins, n_dev)
         return StagedBatch(est, cams, heat, gt, n_chunks, cov,
                            origins, full_hw)
+
+    def _stage_host(self, chunks: list[TestChunk],
+                    coverage: float | None) -> StagedBatch:
+        """stage(on_host=True) body: numpy crop + guard per chunk, ONE
+        device_put per staged field.  See stage()'s docstring."""
+        cfg = self.cfg
+        kk = cfg.heatmap_crop
+        guard_on = (kk > 0 and cfg.heatmap_crop_min_mass > 0
+                    and cfg.energy.reproj != 0.0)
+        want_crops = kk > 0 and cfg.energy.reproj != 0.0
+        crops_l, orgs_l, ratios = [], [], []
+        full_hw = None
+        if want_crops:
+            from globalegomocap_tpu.energy.terms import (
+                crop_heatmaps_channels_last_np)
+            for c in chunks:  # per-chunk: bounds host temp memory
+                cr, org, full_hw, box, total = \
+                    crop_heatmaps_channels_last_np(c.heatmaps, kk)
+                crops_l.append(cr.reshape(cr.shape[0], -1))  # flat contract
+                orgs_l.append(org)
+                if guard_on and coverage is None:
+                    ratios.append(np.where(total > 0,
+                                           box / np.maximum(total, 1e-30),
+                                           1.0).mean())
+        if coverage is not None:
+            cov = coverage
+        elif guard_on:
+            cov = float(np.mean(ratios))
+        else:
+            cov = None
+        eff = self._cfg_for_coverage(cov)
+        k = eff.heatmap_crop if eff.energy.reproj != 0.0 else 0
+
+        if k > 0:
+            heat = np.stack(crops_l)
+            origins = np.stack(orgs_l)
+        else:   # guard tripped (or cropping off): stage the full maps
+            heat = np.stack([np.asarray(c.heatmaps) for c in chunks])
+            origins, full_hw = None, None
+        est = np.stack([np.asarray(c.estimated_local) for c in chunks])
+        cams = np.stack([np.asarray(c.camera_poses) for c in chunks])
+        gt = np.stack([np.asarray(c.gt_global) for c in chunks])
+
+        n_chunks = est.shape[0]
+        n_dev = len(jax.devices())
+        if n_dev > 1 and n_chunks % n_dev:   # pad on host (edge), pre-put
+            rem = (-n_chunks) % n_dev
+
+            def padn(a):
+                return np.pad(a, [(0, rem)] + [(0, 0)] * (a.ndim - 1),
+                              mode="edge")
+            est, cams, gt, heat = map(padn, (est, cams, gt, heat))
+            if origins is not None:
+                origins = padn(origins)
+        put = jax.device_put
+        return StagedBatch(put(est), put(cams), put(heat), put(gt),
+                           n_chunks, cov,
+                           None if origins is None else put(origins),
+                           full_hw)
 
     def _crop_coverage_list(self, heat_l) -> float | None:
         """Crop-guard coverage over per-chunk map arrays WITHOUT stacking

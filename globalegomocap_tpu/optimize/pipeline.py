@@ -413,6 +413,25 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     return out if offset is None else out + offset
 
 
+def _unflatten_staged_crops(heatmap_seq, origins, cfg):
+    """Undo the FLAT staged-crop layout (..., k*k*J) -> (..., k, k, J).
+
+    driver.stage() emits pre-cropped heat flat: staging a 5-D
+    (C, F, k, k, J) stack forces XLA's layout {0,3,4,2,1} on the per-chunk
+    crop temps, padding 375 KB buffers to 46.9 MB (128x) and OOM-ing the
+    16 GB HBM above ~112 chunks.  A flat (C, F, k*k*J) staged array keeps
+    the minor dims 2-D (clean tiling); the reshape back happens HERE,
+    inside the solve program, where XLA fuses it into the window gather
+    instead of materializing the padded layout.  No-op for full maps or
+    already-5-D crops (ndim disambiguates: crops are origins.ndim+1,
+    flat crops origins.ndim-1)."""
+    if origins is None or heatmap_seq.ndim != origins.ndim - 1:
+        return heatmap_seq
+    k = cfg.heatmap_crop
+    j = heatmap_seq.shape[-1] // (k * k)
+    return heatmap_seq.reshape(heatmap_seq.shape[:-1] + (k, k, j))
+
+
 def optimize_chunk(model: ConvVAE, local_variables, global_variables,
                    estimated_local, camera_seq, heatmap_seq, gt_seq,
                    camera: fisheye.FisheyeParams,
@@ -446,6 +465,7 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
     win_org = None
     if origins is not None:
         # pre-cropped at staging — just window the crop origins
+        heatmap_seq = _unflatten_staged_crops(heatmap_seq, origins, cfg)
         win_org = slice_windows(origins, seq_len, stride)  # (W,T,J,2)
     elif use_reproj and cfg.heatmap_crop > 0:
         from globalegomocap_tpu.energy.terms import (
@@ -566,6 +586,7 @@ def optimize_chunks_flat(model: ConvVAE, local_variables,
         heatmap_seq, origins, full_hw = crop_heatmaps_channels_last(
             heatmap_seq, cfg.heatmap_crop)      # (C,N,k,k,J), (C,N,J,2)
     if origins is not None:
+        heatmap_seq = _unflatten_staged_crops(heatmap_seq, origins, cfg)
         win_org = windows_of(origins)           # (C,W,T,J,2)
     win_heat = jnp.moveaxis(windows_of(heatmap_seq), -1, 3)
     w_per = win_local.shape[1]

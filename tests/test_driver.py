@@ -131,7 +131,10 @@ def test_staged_precrop_matches_in_program_crop():
     chunks = [synthetic_chunk(n_frames=26, seed=s) for s in (41, 42, 43)]
     staged = opt.stage(chunks)
     assert staged.origins is not None          # precrop actually happened
-    assert staged.heat.shape[-3:-1] == (8, 8)  # crops, not full maps
+    # crops are staged FLAT (C, F, k*k*J) — the 5-D stacked layout padded
+    # staging temps 128x (see StagedBatch/_unflatten_staged_crops)
+    assert staged.heat.ndim == 3
+    assert staged.heat.shape[-1] == 8 * 8 * chunks[0].heatmaps.shape[-1]
     assert staged.full_hw == chunks[0].heatmaps.shape[1:3]
     for mode in ("flat", "vmap"):
         via_list = opt.optimize_chunks_batched(chunks, mode=mode)
@@ -139,6 +142,50 @@ def test_staged_precrop_matches_in_program_crop():
         np.testing.assert_allclose(np.asarray(via_list.optimized),
                                    np.asarray(via_staged.optimized),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_host_staging_matches_device_staging():
+    """stage(on_host=True) — numpy crop BEFORE the host->device transfer,
+    the host-ingest serving path — must produce a StagedBatch bit-equal
+    to device staging (the crop is a pure gather with matching argmax
+    tie-breaking), including the flat crop contract, origins, the
+    device-count padding, and the crop-guard coverage decision."""
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    cfg = OptimizeConfig(
+        prior=PriorConfig(latent_dim=32, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=3,
+                            history_size=3),
+        heatmap_crop=8)
+    model = build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    opt = SequenceOptimizer(model, v, v, cfg)
+    chunks = [synthetic_chunk(n_frames=26, seed=s) for s in (61, 62, 63)]
+    dev = opt.stage(chunks)
+    host = opt.stage(chunks, on_host=True)
+    assert host.n_chunks == dev.n_chunks
+    assert host.full_hw == dev.full_hw
+    assert abs(host.crop_coverage - dev.crop_coverage) < 1e-5
+    for f in ("est", "cams", "heat", "gt", "origins"):
+        np.testing.assert_array_equal(np.asarray(getattr(host, f)),
+                                      np.asarray(getattr(dev, f)),
+                                      err_msg=f)
+    # solves through the host-staged batch match the device-staged ones
+    a = opt.optimize_chunks_batched(dev, mode="flat")
+    b = opt.optimize_chunks_batched(host, mode="flat")
+    np.testing.assert_array_equal(np.asarray(a.optimized),
+                                  np.asarray(b.optimized))
+
+    # injected coverage below the guard threshold -> full maps staged,
+    # identically on both paths
+    from dataclasses import replace
+    g = SequenceOptimizer(model, v, v,
+                          replace(cfg, heatmap_crop_min_mass=0.9))
+    dev_g = g.stage(chunks, coverage=0.1)
+    host_g = g.stage(chunks, coverage=0.1, on_host=True)
+    assert host_g.origins is None and dev_g.origins is None
+    np.testing.assert_array_equal(np.asarray(host_g.heat),
+                                  np.asarray(dev_g.heat))
 
 
 def test_fused_shard_map_matches_per_chunk():
