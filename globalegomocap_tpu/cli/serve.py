@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("--max_batches", default=0, type=int,
                    help="stop after N sequences (0 = no limit)")
     p.add_argument("--max_in_flight", default=3, type=int)
+    p.add_argument("--stage_on_host", default=False, type=str2bool,
+                   help="crop heatmaps in numpy BEFORE the host->device "
+                        "transfer (serve ingests host-resident pkl "
+                        "chunks, so only k*k crops cross the tunnel)")
     p.add_argument("--with_metrics", default=True, type=str2bool)
     p.add_argument("--max_load_retries", default=5, type=int,
                    help="watch mode: scans to retry a sequence whose chunk "
@@ -99,7 +103,8 @@ def main(argv=None):
         load_variables(args.local_ckpt, args.seq_len, hd),
         load_variables(args.global_ckpt, args.seq_len, hd),
         cfg)
-    service = StreamingOptimizer(opt, max_in_flight=args.max_in_flight)
+    service = StreamingOptimizer(opt, max_in_flight=args.max_in_flight,
+                                 stage_on_host=args.stage_on_host)
 
     done: set[str] = set()
     pending: list[tuple[str, list, float]] = []  # (name, chunks, t_submit)

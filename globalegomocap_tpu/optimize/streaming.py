@@ -39,12 +39,19 @@ class StreamingOptimizer:
     """
 
     def __init__(self, optimizer: SequenceOptimizer,
-                 max_in_flight: int = 2, guard: str = "first"):
+                 max_in_flight: int = 2, guard: str = "first",
+                 stage_on_host: bool = False):
         if guard not in ("first", "every", "off"):
             raise ValueError(f"unknown guard policy {guard!r}")
         self.optimizer = optimizer
         self.max_in_flight = max_in_flight
         self.guard = guard
+        # stage_on_host: crop in numpy BEFORE the host->device transfer
+        # (stage(on_host=True)) — for host-resident ingest, where shipping
+        # full maps through the tunnel is the producer bottleneck.  Also
+        # removes the guard's device readback entirely ('first' measures
+        # the first batch's coverage on host).
+        self.stage_on_host = stage_on_host
         self._guard_cfg = optimizer.cfg if guard == "off" else None
         self._batch_coverage: float | None = None
         self._in_flight: collections.deque = collections.deque()
@@ -90,8 +97,9 @@ class StreamingOptimizer:
                 cov = self._batch_coverage
             else:
                 cov = None   # measure on device (blocks)
-            chunks_or_staged = self.optimizer.stage(chunks_or_staged,
-                                                    coverage=cov)
+            chunks_or_staged = self.optimizer.stage(
+                chunks_or_staged, coverage=cov,
+                on_host=self.stage_on_host)
             if self._batch_coverage is None:
                 self._batch_coverage = chunks_or_staged.crop_coverage
         if self._t_first is None:
