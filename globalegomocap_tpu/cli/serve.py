@@ -45,10 +45,11 @@ def main(argv=None):
     p.add_argument("--max_batches", default=0, type=int,
                    help="stop after N sequences (0 = no limit)")
     p.add_argument("--max_in_flight", default=3, type=int)
-    p.add_argument("--stage_on_host", default=False, type=str2bool,
+    p.add_argument("--stage_on_host", default=True, type=str2bool,
                    help="crop heatmaps in numpy BEFORE the host->device "
                         "transfer (serve ingests host-resident pkl "
-                        "chunks, so only k*k crops cross the tunnel)")
+                        "chunks, so only k*k crops cross the tunnel; "
+                        "host_ingest_ab.json: 252 vs 24 w/s sustained)")
     p.add_argument("--with_metrics", default=True, type=str2bool)
     p.add_argument("--max_load_retries", default=5, type=int,
                    help="watch mode: scans to retry a sequence whose chunk "

@@ -47,10 +47,14 @@ class StreamingOptimizer:
         self.max_in_flight = max_in_flight
         self.guard = guard
         # stage_on_host: crop in numpy BEFORE the host->device transfer
-        # (stage(on_host=True)) — for host-resident ingest, where shipping
-        # full maps through the tunnel is the producer bottleneck.  Also
-        # removes the guard's device readback entirely ('first' measures
-        # the first batch's coverage on host).
+        # (stage(on_host=True)) — for HOST-resident ingest, where shipping
+        # full maps through the tunnel is the producer bottleneck
+        # (host_ingest_ab.json: 252 vs 24 w/s sustained, 64x less
+        # transfer, bit-identical staging).  Also removes the guard's
+        # device readback entirely ('first' measures the first batch's
+        # coverage on host).  Leave OFF for device-resident chunk pools:
+        # np.asarray on device arrays would pull the full maps BACK
+        # through the tunnel first.
         self.stage_on_host = stage_on_host
         self._guard_cfg = optimizer.cfg if guard == "off" else None
         self._batch_coverage: float | None = None
