@@ -269,10 +269,19 @@ class SequenceOptimizer:
         if want_crops:
             from globalegomocap_tpu.energy.terms import (
                 crop_heatmaps_channels_last_np)
+            from globalegomocap_tpu.native.hostcrop import crop_peak_native
             for c in chunks:  # per-chunk: bounds host temp memory
-                cr, org, full_hw, box, total = \
-                    crop_heatmaps_channels_last_np(c.heatmaps, kk)
-                crops_l.append(cr.reshape(cr.shape[0], -1))  # flat contract
+                heat = np.asarray(c.heatmaps)
+                # native single-pass kernel (ingest hot path); bit-exact
+                # numpy fallback when unavailable (hostcrop.py docstring)
+                res = crop_peak_native(heat, kk)
+                if res is not None:
+                    flat_cr, org, full_hw, box, total = res
+                else:
+                    cr, org, full_hw, box, total = \
+                        crop_heatmaps_channels_last_np(heat, kk)
+                    flat_cr = cr.reshape(cr.shape[0], -1)  # flat contract
+                crops_l.append(flat_cr)
                 orgs_l.append(org)
                 if guard_on and coverage is None:
                     ratios.append(np.where(total > 0,
