@@ -169,7 +169,12 @@ def main():
                          # (decoder_rematch_ab.json) and is the exact
                          # reference formulation
                          decoder_impl=os.environ.get("HEADLINE_DECODER",
-                                                     "conv"))
+                                                     "conv"),
+                         # whole-prior bf16 activations: +24% synced at
+                         # c320 (c320_dtype_rematch_ab.json); must pass
+                         # THESE strict gates before becoming default
+                         compute_dtype=os.environ.get(
+                             "HEADLINE_COMPUTE_DTYPE", "float32"))
     opt = SequenceOptimizer(build_model(cfg), local_vars, global_vars, cfg)
 
     # 5 sequences x 5 chunks x 100 frames (the reference's scale)
