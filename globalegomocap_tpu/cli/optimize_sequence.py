@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decoder_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="dense/shift decoder weight storage dtype")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="whole-prior activation dtype in the solve "
+                        "(params stay f32): bfloat16 measured +24% at "
+                        "the 320-chunk point, c320_dtype_rematch_ab.json")
     p.add_argument("--overlap_consistency", default=0.0, type=float,
                    help="cross-window coupling weight (joint "
                         "whole-sequence solve when > 0)")
@@ -183,6 +188,7 @@ def main(argv=None):
                             global_max_iter=args.global_max_iter,
                             init=args.init, init_seed=args.init_seed),
         sampling_impl=args.sampling,
+        compute_dtype=args.compute_dtype,
         heatmap_dtype=args.heatmap_dtype,
         heatmap_crop=args.heatmap_crop,
         heatmap_crop_min_mass=args.heatmap_crop_min_mass,

@@ -143,22 +143,42 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
 
     impl = cfg.decoder_impl or ("dense" if cfg.dense_decoder else "conv")
     ddtype = jnp.bfloat16 if cfg.decoder_dtype == "bfloat16" else None
-    if impl == "dense":
-        # decoder as a banded-matmul chain: fewer kernels per objective
-        # eval, which is the binding constraint (solver_floor.json)
-        from globalegomocap_tpu.models.dense_decoder import (
-            make_dense_decoder)
-        decode_batch = make_dense_decoder(model, variables, ddtype)
-    elif impl == "shift":
-        # 3 shift-matmuls per layer: band-matmul kernel economy without
-        # the band's FLOP/weight-traffic inflation
-        from globalegomocap_tpu.models.dense_decoder import (
-            make_shift_decoder)
-        decode_batch = make_shift_decoder(model, variables, ddtype)
+
+    def _make_decode_batch(mdl, dt):
+        if impl == "dense":
+            # decoder as a banded-matmul chain: fewer kernels per
+            # objective eval, which is the binding constraint
+            # (solver_floor.json)
+            from globalegomocap_tpu.models.dense_decoder import (
+                make_dense_decoder)
+            return make_dense_decoder(mdl, variables, dt)
+        if impl == "shift":
+            # 3 shift-matmuls per layer: band-matmul kernel economy
+            # without the band's FLOP/weight-traffic inflation
+            from globalegomocap_tpu.models.dense_decoder import (
+                make_shift_decoder)
+            return make_shift_decoder(mdl, variables, dt)
+
+        def decode_conv(z):
+            return mdl.apply(variables, z, False,
+                             method=ConvVAE.decode_to_bodypose)
+        return decode_conv
+
+    decode_batch = _make_decode_batch(model, ddtype)
+    # Mixed-precision OUTPUT: with compute_dtype=bfloat16 the solver's
+    # ~30-70 decode evals per stage run in bf16 (+24% at the 320-chunk
+    # point, c320_dtype_rematch_ab.json), but the RETURNED pose — the
+    # final point's decode, and the residual offset it composes with —
+    # is decoded in f32.  All-bf16 measured its entire bone-aligned
+    # quality cost (~+0.001, exactly bf16 output-rounding magnitude at
+    # pose scale ~1) in the output decode, while raw-global IMPROVED
+    # (quality_iter_crop_bf16*.json); two extra f32 decodes per stage
+    # are launch noise.
+    if getattr(model, "dtype", jnp.float32) != jnp.float32:
+        decode_out = _make_decode_batch(model.clone(dtype=jnp.float32),
+                                        jnp.float32)
     else:
-        def decode_batch(z):
-            return model.apply(variables, z, False,
-                               method=ConvVAE.decode_to_bodypose)
+        decode_out = decode_batch
 
     def decode(z):
         return decode_batch(z[None])[0]
@@ -172,7 +192,7 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
         # is p(z) = anchor + decode(z) - decode(z0) — exact at the init
         # (no decode floor), corrections confined to the prior's tangent
         # space.  The offset is a per-window constant of the solve.
-        offset = (init_pose - decode_batch(mu)).astype(jnp.float32)
+        offset = (init_pose - decode_out(mu)).astype(jnp.float32)
 
     s = cfg.solver
     use_batched = (s.method == "lbfgs_fixed"
@@ -269,7 +289,7 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
             history_size=s.history_size, lr=s.lr,
             step_candidates=tuple(s.step_candidates),
             unroll=s.unroll)
-        out = decode_batch(res.x)
+        out = decode_out(res.x)
         return out if offset is None else out + offset
 
     if use_batched and s.fused_energy and not use_reproj:
@@ -315,7 +335,7 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
             history_size=s.history_size, lr=s.lr,
             step_candidates=tuple(s.step_candidates),
             unroll=s.unroll)
-        out = decode_batch(res.x)
+        out = decode_out(res.x)
         return out if offset is None else out + offset
 
     if use_batched:
@@ -354,7 +374,7 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
             history_size=s.history_size, lr=s.lr,
             step_candidates=tuple(s.step_candidates),
             unroll=s.unroll)
-        out = decode_batch(res.x)
+        out = decode_out(res.x)
         return out if offset is None else out + offset
 
     # vmap in_axes for the optional per-window context (None = absent)
@@ -409,7 +429,7 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
                           in_axes=(0, 0, 0, 0, ax_org, ax_sm, ax_off))(
             mu, init_pose, heatmaps, mean_bl, origins, smoothed, offset)
 
-    out = decode_batch(z_star)
+    out = decode_out(z_star)
     return out if offset is None else out + offset
 
 

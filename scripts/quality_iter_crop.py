@@ -157,6 +157,7 @@ def main():
                                                           "5"))),
             sampling_impl="dense", fold_bn=True, dense_decoder=True,
             decoder_impl=os.environ.get("QIC_DECODER", "conv"),
+            compute_dtype=os.environ.get("QIC_COMPUTE_DTYPE", "float32"),
             heatmap_crop=crop)
         opt = SequenceOptimizer(build_model(cfg), local_vars,
                                 global_vars, cfg)
@@ -221,6 +222,17 @@ def main():
             json.dump(results, f, indent=1)
 
     only = os.environ.get("QIC_ONLY", "")
+    if only == "bf16":
+        # whole-prior bf16 activations in the SOLVE (params f32): +24%
+        # synced at c320 (c320_dtype_rematch_ab.json) — gate the quality
+        # drift vs f32 at the full production tier, per corpus
+        for dt, lbl in (("float32", "f32"), ("bfloat16", "bf16")):
+            os.environ["QIC_COMPUTE_DTYPE"] = dt
+            measure(f"dtype_{lbl}_i12_m3_s2_3_fused_res", 12, 8,
+                    history=3, candidates=(1.0, 0.1), fused_energy=True,
+                    residual=True, s2_iter=3)
+        del os.environ["QIC_COMPUTE_DTYPE"]
+        return
     if only == "kcand":
         # line-search candidate count at the round-3 fast tier: K=2
         # (1.0, 0.1) beat K=4 in round 2; K=1 halves the probe batch the

@@ -356,3 +356,61 @@ def test_global_max_iter_override():
                                       np.asarray(getattr(outs["short"], f)))
     assert np.abs(np.asarray(outs["none"].optimized)
                   - np.asarray(outs["short"].optimized)).max() > 1e-6
+
+
+class TestBf16Compute:
+    """compute_dtype=bfloat16: the solver's decode/encode evals run in
+    bf16 (+24% at c320, c320_dtype_rematch_ab.json) but the RETURNED
+    pose is decoded in f32 (mixed-precision output — the all-bf16 arm's
+    bone-aligned cost was pure output rounding)."""
+
+    def _run(self, chunk, dtype, **kw):
+        cfg = small_cfg(compute_dtype=dtype, heatmap_crop=8,
+                        solver=SolverConfig(method="lbfgs_fixed",
+                                            max_iter=4, history_size=3,
+                                            step_candidates=(1.0, 0.1)),
+                        **kw)
+        model = build_model(cfg)
+        x = jnp.zeros((1, cfg.prior.seq_len, 45))
+        v1 = model.init(jax.random.PRNGKey(0), x, False)
+        v2 = model.init(jax.random.PRNGKey(1), x, False)
+        opt = SequenceOptimizer(model, v1, v2, cfg)
+        return opt.optimize_chunk(chunk)
+
+    def test_bf16_output_is_f32_and_tracks_f32_solve(self, chunk):
+        a = self._run(chunk, "float32")
+        b = self._run(chunk, "bfloat16")
+        assert b.optimized.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(b.optimized)))
+        # params are f32 either way; bf16 evals perturb the trajectory
+        # but must land near the f32 solve (loose: untrained prior)
+        diff = float(jnp.mean(jnp.abs(a.optimized - b.optimized)))
+        assert diff < 0.05, diff
+
+    def test_bf16_residual_stage_exact_at_init(self, chunk):
+        """The residual stage's exact-at-init property must survive bf16
+        compute: the offset and the final decode both run f32, so zero
+        solver iterations return the anchor to f32 precision — NOT bf16
+        precision (which would be ~3e-3 at pose scale)."""
+        from globalegomocap_tpu.optimize.pipeline import (
+            optimize_stage, stage_weights)
+        from globalegomocap_tpu.optimize.window import slice_windows
+        from globalegomocap_tpu.ops.skeleton import mean_bone_lengths
+        cfg = small_cfg(compute_dtype="bfloat16",
+                        solver=SolverConfig(method="lbfgs_fixed",
+                                            max_iter=0, history_size=3))
+        model = build_model(cfg)
+        x = jnp.zeros((1, cfg.prior.seq_len, 45))
+        v = model.init(jax.random.PRNGKey(1), x, False)
+        win = slice_windows(jnp.asarray(chunk.estimated_local), 10, 8)
+        heat = jnp.zeros((win.shape[0], 10, 15, 4, 4), jnp.float32)
+        bl = jnp.broadcast_to(
+            mean_bone_lengths(jnp.asarray(chunk.estimated_local)),
+            (win.shape[0], 15))
+        cam = resolve_camera(cfg)
+        _, global_w = stage_weights(cfg)
+        out = optimize_stage(model, v, win, heat, bl, cam, global_w,
+                             False, cfg, residual=True)
+        assert out.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(out), np.asarray(win),
+                                   rtol=1e-5, atol=1e-6)
