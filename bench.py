@@ -97,6 +97,13 @@ STEP_CANDIDATES = tuple(
 # 'bfloat16' halves HBM traffic of the heatmap sampling path (the
 # dominant eval cost, solver_floor_noreproj.json)
 HEATMAP_DTYPE = os.environ.get("BENCH_HEATMAP_DTYPE", "float32")
+# whole-prior activation dtype for the SOLVER'S EVALS (params f32;
+# encode/offset/final-output decode stay f32 — pipeline mixed precision):
+# 27278 vs 21957 w/s synced / 31821 vs 24796 pipelined at c320
+# (c320_dtype_rematch_ab.json), quality-gated on all three corpora
+# (quality_iter_crop_bf16*.json: raw-global IMPROVES on v1+camnoise,
+# bone-aligned +0.0003, v2 neutral-to-better; headline strict gates pass)
+COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
 # > 0: peak-centered k x k heatmap crops, extracted ONCE at staging
 # (the program never reads the full maps).  k=8 default: quality-verified
 # with trained full-size priors on the 5-sequence workload — all
@@ -185,6 +192,7 @@ def main():
         decoder_dtype=DECODER_DTYPE,
         heatmap_dtype=HEATMAP_DTYPE,
         heatmap_crop=HEATMAP_CROP,
+        compute_dtype=COMPUTE_DTYPE,
     )
     model = build_model(cfg)
     x0 = jnp.zeros((1, 10, 45))

@@ -126,9 +126,18 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     # latent init (one batched encode for all windows): the default is the
     # deterministic encoder mean; init='sample' reproduces the reference's
     # reparameterized-sample init (optimizer.py:257, SeqConvVAE.py:159-169)
-    # keyed by cfg.solver.init_seed
-    mu, log_var = model.apply(variables, flat, False,
-                              method=ConvVAE.encode)
+    # keyed by cfg.solver.init_seed.
+    # With compute_dtype=bfloat16 the ENCODE still runs f32 (once per
+    # launch — cost noise): bf16 is an EVAL-precision knob for the
+    # solver's ~30-70 decode evals per stage; a bf16-perturbed init mu
+    # measurably shifts where 12 L-BFGS iterations land (the all-bf16
+    # arm's +0.001 bone-aligned cost persisted with an f32 OUTPUT decode
+    # — quality_iter_crop_bf16*.json — so the drift enters at init).
+    f32_model = model
+    if getattr(model, "dtype", jnp.float32) != jnp.float32:
+        f32_model = model.clone(dtype=jnp.float32)
+    mu, log_var = f32_model.apply(variables, flat, False,
+                                  method=ConvVAE.encode)
     if cfg.solver.init == "sample":
         from globalegomocap_tpu.models.conv_vae import reparameterize
         mu = reparameterize(mu, log_var,
@@ -174,9 +183,8 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     # pose scale ~1) in the output decode, while raw-global IMPROVED
     # (quality_iter_crop_bf16*.json); two extra f32 decodes per stage
     # are launch noise.
-    if getattr(model, "dtype", jnp.float32) != jnp.float32:
-        decode_out = _make_decode_batch(model.clone(dtype=jnp.float32),
-                                        jnp.float32)
+    if f32_model is not model:
+        decode_out = _make_decode_batch(f32_model, jnp.float32)
     else:
         decode_out = decode_batch
 

@@ -52,6 +52,9 @@ def production_base(**overrides):
                             step_candidates=(1.0, 0.1),
                             fused_energy=True, unroll=5),
         sampling_impl="dense", heatmap_crop=8,
+        # bf16 solver evals (f32 encode/output), production default
+        # since the c320 rematch + per-corpus quality gates
+        compute_dtype="bfloat16",
         fold_bn=True, dense_decoder=True, decoder_impl="conv")
     return replace(base, **overrides) if overrides else base
 

@@ -27,7 +27,8 @@ def main():
     n_chunks = int(os.environ.get("AB_CHUNKS", "56"))
     # committed-artifact base: iter15/m5, shared stage-2 budget (the fast
     # tier + s2=3 landed AFTER decoder_rematch_ab.json was measured)
-    base = production_base(decoder_impl="shift")
+    base = production_base(decoder_impl="shift",
+                           compute_dtype="float32")  # pre-bf16 artifact
     base = replace(base, solver=replace(base.solver, history_size=5,
                                         max_iter=15, global_max_iter=None))
     model, v1, v2 = build_prior_pair(base)

@@ -32,7 +32,7 @@ def main():
         solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
                             history_size=5, max_iter=15,
                             step_candidates=(1.0, 0.1)),
-        decoder_impl="shift")
+        decoder_impl="shift", compute_dtype="float32")  # pre-bf16
     model, v1, v2 = build_prior_pair(base)
     chunks = make_pool(n_chunks)
     wins = num_windows(100) * n_chunks

@@ -170,11 +170,13 @@ def main():
                          # reference formulation
                          decoder_impl=os.environ.get("HEADLINE_DECODER",
                                                      "conv"),
-                         # whole-prior bf16 activations: +24% synced at
-                         # c320 (c320_dtype_rematch_ab.json); must pass
-                         # THESE strict gates before becoming default
+                         # bf16 solver evals, f32 encode/offset/output
+                         # (pipeline mixed precision): +24% synced at
+                         # c320 (c320_dtype_rematch_ab.json); passes
+                         # these strict gates and the per-corpus
+                         # quality_iter_crop_bf16* matrix — default
                          compute_dtype=os.environ.get(
-                             "HEADLINE_COMPUTE_DTYPE", "float32"))
+                             "HEADLINE_COMPUTE_DTYPE", "bfloat16"))
     opt = SequenceOptimizer(build_model(cfg), local_vars, global_vars, cfg)
 
     # 5 sequences x 5 chunks x 100 frames (the reference's scale)

@@ -68,6 +68,10 @@ def main():
                                                         "3")))),
         sampling_impl="dense", fold_bn=True, dense_decoder=True,
         decoder_impl=os.environ.get("SERVE_DECODER", "conv"),
+        # bf16 solver evals (f32 encode/output): production default since
+        # the c320 rematch + per-corpus quality gates
+        # (c320_dtype_rematch_ab.json, quality_iter_crop_bf16*.json)
+        compute_dtype=os.environ.get("SERVE_COMPUTE_DTYPE", "bfloat16"),
         heatmap_crop=8)
     model = build_model(cfg)
     x0 = jnp.zeros((1, 10, 45))

@@ -71,6 +71,10 @@ def main():
                             fused_energy=True),
         sampling_impl="dense", heatmap_crop=8,
         fold_bn=True, dense_decoder=True,
+        # AB_COMPUTE_DTYPE=bfloat16: bf16 solver evals (f32 encode/output
+        # — pipeline mixed precision).  Halved eval activations may move
+        # the chunk ceiling past the f32 plateau (c448) too.
+        compute_dtype=os.environ.get("AB_COMPUTE_DTYPE", "float32"),
         decoder_impl="shift" if r3mid else "conv")
     model = build_model(base)
     x0 = jnp.zeros((1, 10, 45))
