@@ -162,12 +162,24 @@ def main():
         out["results"][label] = rec
         print(label, rec, flush=True)
 
+    dest = os.environ.get("AB_OUT", os.path.join(REPO,
+                                                 "unroll_chunks_ab.json"))
+
+    def flush_out():
+        # write after EVERY arm: a late-arm OOM (the c640 probe is an
+        # intentional ceiling test) must not lose the earlier arms —
+        # the committed _flat2 artifact had to be hand-assembled from
+        # stdout after exactly that failure mode
+        with open(dest, "w") as f:
+            json.dump(out, f, indent=1)
+
     # SANITY arm first: known config point, unroll=1 x chunksets[0].
     # Healthy per-window launch time at u1 is ~0.10-0.13 ms/window for
     # the r3-mid base and ~0.065-0.075 for the r3-final base (measured
     # artifacts); >2x that means the degraded-claim regime (CLAUDE.md)
     # and every number in this run is invalid.
     run_arm(f"u1_c{chunksets[0]}", chunksets[0], 1)
+    flush_out()
     first = out["results"][f"u1_c{chunksets[0]}"]
     out["sanity_best_s"] = first["best_s"]
     per_win_ms = 1e3 * first["best_s"] / first["windows"]
@@ -181,14 +193,18 @@ def main():
         if u == 1:
             continue
         run_arm(f"u{u}_c{chunksets[0]}", chunksets[0], u)
+        flush_out()
     cu = int(os.environ.get("AB_CHUNK_UNROLL", "1"))
     for c in chunksets[1:]:
-        run_arm(f"u{cu}_c{c}", c, cu)
+        try:
+            run_arm(f"u{cu}_c{c}", c, cu)
+        except Exception as e:   # e.g. the intentional OOM ceiling probe
+            out["results"][f"u{cu}_c{c}"] = {
+                "error": f"{type(e).__name__}: {str(e)[:400]}"}
+            print(f"u{cu}_c{c} FAILED: {type(e).__name__}", flush=True)
+        flush_out()
 
-    dest = os.environ.get("AB_OUT", os.path.join(REPO,
-                                                 "unroll_chunks_ab.json"))
-    with open(dest, "w") as f:
-        json.dump(out, f, indent=1)
+    flush_out()
 
 
 if __name__ == "__main__":
