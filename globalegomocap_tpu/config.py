@@ -168,7 +168,9 @@ class OptimizeConfig:
     sampling_impl: str = "gather"   # heatmap sampling: 'gather' | 'dense'
     # storage dtype of the heatmaps inside the solver: 'bfloat16' halves
     # the HBM traffic of the sampling path (the dominant eval cost,
-    # solver_floor_noreproj.json); sampling weights/accumulation stay f32
+    # solver_floor_noreproj.json); sampling weights/accumulation stay f32.
+    # The fused mega-kernel accepts bf16 crops too (one whole-block
+    # convert in-kernel; energy math stays f32 — heat_dtype_ab.json)
     heatmap_dtype: str = "float32"
     # > 0: crop each heatmap to a k x k window around its peak before the
     # solve (once per launch).  The maps are Gaussian blobs, so the crop

@@ -138,11 +138,13 @@ def _make_kernel(n_layers, t, j, k, sx, sy, crop_offset):
         py_ = jnp.sum(_dg(h, sel_ref[1]) * fm, axis=1)
         pz_ = jnp.sum(_dg(h, sel_ref[2]) * fm, axis=1)
 
+        # bf16 crops: one whole-block convert (see fused_energy._kernel)
+        crops = crops_ref[...].astype(jnp.float32)
         e, gx, gy, gz = _energy_core(
             px_, py_, pz_,
             (anchor_ref[:, 0, :], anchor_ref[:, 1, :],
              anchor_ref[:, 2, :]),
-            lambda cell: crops_ref[:, cell, :],
+            lambda cell: crops[:, cell, :],
             ox_ref[:, :], oy_ref[:, :], bone_ref[:, :], amat_ref[...],
             w_ref, poly_ref, t=t, j=j, k=k, sx=sx, sy=sy,
             crop_offset=crop_offset)

@@ -251,10 +251,16 @@ def _energy_core(px_, py_, pz_, anchor_xyz, get_cell, ox, oy, bone,
 def _kernel(pose_ref, anchor_ref, crops_ref, ox_ref, oy_ref, bone_ref,
             amat_ref, w_ref, poly_ref, e_ref, g_ref, *, t, j, k, sx, sy,
             crop_offset):
+    # bf16 crops (cfg.heatmap_dtype): HBM reads the half-width stream —
+    # the crop blocks are the kernel's dominant input traffic — and ONE
+    # whole-block convert restores f32 for the energy math.  Converting
+    # per cell would slice single bf16 sublanes (packed 2-per-row on TPU);
+    # the block convert keeps every slice an f32 sublane op.
+    crops = crops_ref[...].astype(jnp.float32)
     e, gx, gy, gz = _energy_core(
         pose_ref[:, 0, :], pose_ref[:, 1, :], pose_ref[:, 2, :],
         (anchor_ref[:, 0, :], anchor_ref[:, 1, :], anchor_ref[:, 2, :]),
-        lambda cell: crops_ref[:, cell, :],
+        lambda cell: crops[:, cell, :],
         ox_ref[:, :], oy_ref[:, :], bone_ref[:, :], amat_ref[...],
         w_ref, poly_ref, t=t, j=j, k=k, sx=sx, sy=sy,
         crop_offset=crop_offset)

@@ -113,7 +113,9 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
 
     if use_reproj and cfg.heatmap_dtype == "bfloat16":
         # cast once per launch (loop-invariant, hoisted out of the solver
-        # scan); sampling promotes back to f32 at the weight multiply
+        # scan); sampling promotes back to f32 at the weight multiply and
+        # the fused mega-kernel converts each crop block in-kernel — the
+        # solver's per-eval crop reads move half the HBM bytes
         heatmaps = heatmaps.astype(jnp.bfloat16)
 
     if use_reproj and cfg.heatmap_crop > 0 and origins is None:
@@ -208,8 +210,7 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
                    and smoothed is None
                    and float(cfg.energy.overlap_consistency) == 0.0)
     if (use_batched and s.fused_energy and use_reproj
-            and origins is not None
-            and cfg.heatmap_dtype == "float32"):
+            and origins is not None):
         # MEGA-KERNEL PATH: the whole post-decode energy (value + analytic
         # grad) is ONE Pallas kernel per eval; the solver runs explicitly
         # batched so the kernel sees the full (K, W) probe batch and the

@@ -14,9 +14,9 @@ the cheap dtype/impl levers at the new point:
               10267)
   shift_bf16  shift decoder with bf16 weights (tied conv at c56)
 
-(heatmap_dtype=bfloat16 is NOT an arm: the mega-kernel path requires
-f32 crops — pipeline.py gates on heatmap_dtype=="float32" — so that
-arm would measure the fall-back to the XLA energy path, not the dtype.)
+(heatmap_dtype=bfloat16 was NOT an arm here: at measurement time the
+mega-kernel required f32 crops.  The kernel now converts bf16 crop
+blocks in-kernel — scripts/heat_dtype_ab.py measures that lever.)
 
 Run on TPU: python scripts/c320_dtype_rematch_ab.py
 Writes c320_dtype_rematch_ab.json.  AB_CHUNKS / AB_POOL_UNIQUE envs.

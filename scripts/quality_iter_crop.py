@@ -158,6 +158,7 @@ def main():
             sampling_impl="dense", fold_bn=True, dense_decoder=True,
             decoder_impl=os.environ.get("QIC_DECODER", "conv"),
             compute_dtype=os.environ.get("QIC_COMPUTE_DTYPE", "float32"),
+            heatmap_dtype=os.environ.get("QIC_HEAT_DTYPE", "float32"),
             heatmap_crop=crop)
         opt = SequenceOptimizer(build_model(cfg), local_vars,
                                 global_vars, cfg)
@@ -231,6 +232,20 @@ def main():
             measure(f"dtype_{lbl}_i12_m3_s2_3_fused_res", 12, 8,
                     history=3, candidates=(1.0, 0.1), fused_energy=True,
                     residual=True, s2_iter=3)
+        del os.environ["QIC_COMPUTE_DTYPE"]
+        return
+    if only == "heat16":
+        # bf16 heat crops through the mega-kernel (heat_dtype_ab.json):
+        # the only math change is bf16 rounding of crop VALUES (<= 2^-9
+        # relative); gate vs f32 heat at the full production tier
+        # (compute_dtype stays bf16 — the production mixed-precision arm)
+        os.environ["QIC_COMPUTE_DTYPE"] = "bfloat16"
+        for hd, lbl in (("float32", "hf32"), ("bfloat16", "hbf16")):
+            os.environ["QIC_HEAT_DTYPE"] = hd
+            measure(f"heat_{lbl}_i12_m3_s2_3_fused_res", 12, 8,
+                    history=3, candidates=(1.0, 0.1), fused_energy=True,
+                    residual=True, s2_iter=3)
+        del os.environ["QIC_HEAT_DTYPE"]
         del os.environ["QIC_COMPUTE_DTYPE"]
         return
     if only == "kcand":

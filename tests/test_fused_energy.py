@@ -72,6 +72,79 @@ def test_fused_energy_matches_xla(b):
                                rtol=2e-5, atol=1e-5)
 
 
+def test_fused_energy_bf16_crops():
+    """bf16 crop blocks (cfg.heatmap_dtype='bfloat16'): the kernel
+    converts each crop block to f32 in-kernel — value and gradient must
+    match the f32-crop kernel to bf16 rounding of the crop VALUES only
+    (the projection/pose math stays f32)."""
+    camera = fisheye.default_camera("egosyn")
+    w = EnergyWeights.create(weight_3d=0.01, smooth=0.001,
+                             bone_length=0.02, vae=0.003, reproj=0.01)
+    pose, anchor, crops, origins, bone = _random_inputs(6, seed=7)
+    layout = _to_kernel_layout(pose, anchor, crops, origins, bone)
+    lay16 = (layout[0], layout[1], layout[2].astype(jnp.bfloat16),
+             *layout[3:])
+
+    def vg(lay):
+        def s(pose_rt):
+            return jnp.sum(fused_stage_energy(
+                pose_rt, *lay[1:], _ctx(camera, w), T, J, K, FULL_HW,
+                128.0, 512.0))
+        return jax.value_and_grad(s)(lay[0])
+
+    e32, g32 = vg(layout)
+    e16, g16 = vg(lay16)
+    assert e16.dtype == jnp.float32 and g16.dtype == jnp.float32
+    # reproj term reads ~L bf16-rounded heat values per window (each
+    # |err| <= 2^-9 relative); pose-space terms are bitwise-unaffected
+    np.testing.assert_allclose(np.asarray(e16), np.asarray(e32),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(g32),
+                               rtol=2e-2, atol=2e-4)
+
+
+def test_pipeline_fused_bf16_heat_end_to_end():
+    """The fused production path with heatmap_dtype='bfloat16' (staged
+    crops stream at half width) reaches the same solution quality as the
+    f32-heat fused path."""
+    from dataclasses import replace
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, PriorConfig, SolverConfig)
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model)
+
+    base = OptimizeConfig(
+        prior=PriorConfig(latent_dim=16, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=6,
+                            history_size=3, fused_probes=True,
+                            step_candidates=(1.0, 0.1),
+                            fused_energy=True),
+        sampling_impl="dense", heatmap_crop=8, fold_bn=True,
+        dense_decoder=True, decoder_impl="conv")
+    bf16 = replace(base, heatmap_dtype="bfloat16")
+    model = build_model(base)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    chunks = [synthetic_chunk(26, seed=21)]
+
+    res = {}
+    for name, cfg in (("f32", base), ("bf16", bf16)):
+        opt = SequenceOptimizer(model, v, v, cfg)
+        staged = opt.stage(chunks)
+        res[name] = opt.optimize_chunks_batched(staged, mode="flat")
+    b_opt = np.asarray(res["bf16"].optimized)
+    assert np.isfinite(b_opt).all()
+    gt = np.asarray(res["f32"].gt)
+
+    def quality(r):
+        return float(np.linalg.norm(
+            np.asarray(r.optimized) - gt, axis=-1).mean())
+
+    qa, qb = quality(res["f32"]), quality(res["bf16"])
+    assert abs(qa - qb) < 0.05 * max(qa, 1e-6), (qa, qb)
+
+
 def test_fused_energy_grad_matches_xla():
     camera = fisheye.default_camera("egosyn")
     w = EnergyWeights.create(weight_3d=0.01, smooth=0.001,
