@@ -225,6 +225,16 @@ class OptimizeConfig:
     # 0.81 ms of the ~8 ms in-program intercept), so fewer kernels win.
     matmul_merge: bool = True
     compute_dtype: str = "float32"
+    # stage() segmenting: a single staging program takes one FULL-map
+    # argument per chunk, and the AOT compiler accounts each argument
+    # distinctly — 640 chunks = 18.75G of "arguments" and an HBM OOM at
+    # compile time even when the runtime buffers alias (the tiled A/B
+    # pool).  Above this many chunks, stage() runs the (identical)
+    # staging program per segment and concatenates the staged outputs —
+    # bit-exact, and the staged crops are ~64x smaller than the maps.
+    # heat_ceiling_probe.json re-diagnosed the old "solve-temp OOM"
+    # (unroll_chunks_flat2.json) as exactly this argument accounting.
+    stage_segment_chunks: int = 384
 
 
 @dataclass(frozen=True)

@@ -200,13 +200,63 @@ class SequenceOptimizer:
             return self._stage_host(chunks, coverage)
         heat_l = [jnp.asarray(c.heatmaps) for c in chunks]
 
+        # Segmenting: every chunk's FULL maps enter the staging (and
+        # guard) program as a distinct argument, and the AOT compiler
+        # accounts arguments without aliasing — 640 chunks = 18.75G of
+        # "arguments" and a compile-time HBM OOM (heat_ceiling_probe.json
+        # re-diagnosed unroll_chunks_flat2.json's "solve-temp OOM" as
+        # this).  Run the identical program per segment and concatenate
+        # the (64x smaller) staged outputs — bit-exact.
+        seg = self.cfg.stage_segment_chunks
+        parts = ([list(range(i, min(i + seg, len(chunks))))
+                  for i in range(0, len(chunks), seg)]
+                 if seg and len(chunks) > seg else
+                 [list(range(len(chunks)))])
+
         if coverage is None:
-            cov = self._crop_coverage_list(heat_l)
+            covs = [self._crop_coverage_list([heat_l[i] for i in p])
+                    for p in parts]
+            # equal-length chunks -> mean of per-chunk means is exact,
+            # so the segment means recombine by segment size
+            cov = (None if covs[0] is None else
+                   float(sum(c * len(p) for c, p in zip(covs, parts))
+                         / len(chunks)))
         else:
             cov = coverage
         eff = self._cfg_for_coverage(cov)
         k = eff.heatmap_crop if eff.energy.reproj != 0.0 else 0
 
+        staged_parts = [
+            self._stage_arrays([chunks[i] for i in p],
+                               [heat_l[i] for i in p], k)
+            for p in parts]
+        if len(staged_parts) == 1:
+            est, cams, heat, gt, origins = staged_parts[0]
+        else:
+            est, cams, heat, gt = (
+                jnp.concatenate([sp[f] for sp in staged_parts])
+                for f in range(4))
+            origins = (jnp.concatenate([sp[4] for sp in staged_parts])
+                       if staged_parts[0][4] is not None else None)
+        full_hw = (heat_l[0].shape[-3], heat_l[0].shape[-2]) if k > 0 \
+            else None
+
+        n_chunks = est.shape[0]
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            est, _ = pad_to_multiple(est, n_dev)
+            cams, _ = pad_to_multiple(cams, n_dev)
+            heat, _ = pad_to_multiple(heat, n_dev)
+            gt, _ = pad_to_multiple(gt, n_dev)
+            if origins is not None:
+                origins, _ = pad_to_multiple(origins, n_dev)
+        return StagedBatch(est, cams, heat, gt, n_chunks, cov,
+                           origins, full_hw)
+
+    def _stage_arrays(self, chunks, heat_l, k: int):
+        """One staging-program launch over <= stage_segment_chunks
+        chunks; returns the UNPADDED stacked (est, cams, heat, gt,
+        origins) device arrays (heat flat (C, F, k*k*J) when k > 0)."""
         key = ("stage_prog", len(chunks), heat_l[0].shape, k)
         if key not in self._jit_cache:
             from globalegomocap_tpu.energy.terms import (
@@ -235,25 +285,11 @@ class SequenceOptimizer:
 
             self._jit_cache[key] = jax.jit(prog)
 
-        est, cams, heat, gt, origins = self._jit_cache[key](
+        return self._jit_cache[key](
             [jnp.asarray(c.estimated_local) for c in chunks],
             [jnp.asarray(c.camera_poses) for c in chunks],
             heat_l,
             [jnp.asarray(c.gt_global) for c in chunks])
-        full_hw = (heat_l[0].shape[-3], heat_l[0].shape[-2]) if k > 0 \
-            else None
-
-        n_chunks = est.shape[0]
-        n_dev = len(jax.devices())
-        if n_dev > 1:
-            est, _ = pad_to_multiple(est, n_dev)
-            cams, _ = pad_to_multiple(cams, n_dev)
-            heat, _ = pad_to_multiple(heat, n_dev)
-            gt, _ = pad_to_multiple(gt, n_dev)
-            if origins is not None:
-                origins, _ = pad_to_multiple(origins, n_dev)
-        return StagedBatch(est, cams, heat, gt, n_chunks, cov,
-                           origins, full_hw)
 
     def _stage_host(self, chunks: list[TestChunk],
                     coverage: float | None) -> StagedBatch:

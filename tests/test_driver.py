@@ -188,6 +188,43 @@ def test_host_staging_matches_device_staging():
                                   np.asarray(dev_g.heat))
 
 
+def test_segmented_staging_matches_single_program():
+    """Above cfg.stage_segment_chunks, stage() runs the staging program
+    per segment and concatenates the staged outputs — required because a
+    single program takes one FULL-map argument per chunk and the AOT
+    compiler accounts arguments without aliasing (640 chunks = 18.75G
+    'arguments', heat_ceiling_probe.json).  Must be bit-exact vs the
+    single-program path, including crop origins, the guard coverage, and
+    the solve through it; exercised at a segment size that leaves a
+    partial tail segment."""
+    from dataclasses import replace
+    cfg = OptimizeConfig(
+        prior=PriorConfig(latent_dim=32, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=3,
+                            history_size=3),
+        heatmap_crop=8)
+    model = build_model(cfg)
+    x = jnp.zeros((1, 10, 45))
+    v = model.init(jax.random.PRNGKey(0), x, False)
+    chunks = [synthetic_chunk(n_frames=26, seed=s) for s in range(70, 75)]
+    single = SequenceOptimizer(model, v, v, cfg).stage(chunks)
+    seg = SequenceOptimizer(
+        model, v, v, replace(cfg, stage_segment_chunks=2)).stage(chunks)
+    assert seg.n_chunks == single.n_chunks == 5
+    assert seg.full_hw == single.full_hw
+    assert abs(seg.crop_coverage - single.crop_coverage) < 1e-6
+    for f in ("est", "cams", "heat", "gt", "origins"):
+        np.testing.assert_array_equal(np.asarray(getattr(seg, f)),
+                                      np.asarray(getattr(single, f)),
+                                      err_msg=f)
+    opt = SequenceOptimizer(model, v, v, cfg)
+    a = opt.optimize_chunks_batched(single, mode="flat")
+    b = opt.optimize_chunks_batched(seg, mode="flat")
+    np.testing.assert_array_equal(np.asarray(a.optimized),
+                                  np.asarray(b.optimized))
+
+
 def test_fused_shard_map_matches_per_chunk():
     """With fused_energy on and >1 device, optimize_chunks_batched keeps
     the Pallas mega-kernel by running the whole pipeline per-shard under
