@@ -94,9 +94,12 @@ MAX_ITER = int(os.environ.get("BENCH_MAX_ITER", "12"))
 STEP_CANDIDATES = tuple(
     float(x) for x in
     os.environ.get("BENCH_STEP_CANDIDATES", "1.0,0.1").split(","))
-# 'bfloat16' halves HBM traffic of the heatmap sampling path (the
-# dominant eval cost, solver_floor_noreproj.json)
-HEATMAP_DTYPE = os.environ.get("BENCH_HEATMAP_DTYPE", "float32")
+# 'bfloat16' halves the staged-crop HBM stream (the mega-kernel upcasts
+# to f32 in VMEM, math unchanged): +2.5% synced / +2.2% pipelined at c320
+# (heat_dtype_ab.json) and quality-gated with trained priors — tripwires
+# + stage-2 gates pass with metrics a hair BETTER
+# (quality_iter_crop_heat16.json).  Production default since round 4.
+HEATMAP_DTYPE = os.environ.get("BENCH_HEATMAP_DTYPE", "bfloat16")
 # whole-prior activation dtype for the SOLVER'S EVALS (params f32;
 # encode/offset/final-output decode stay f32 — pipeline mixed precision):
 # 27278 vs 21957 w/s synced / 31821 vs 24796 pipelined at c320
@@ -127,11 +130,66 @@ UNROLL = int(os.environ.get("BENCH_UNROLL", "5"))
 # (s2iter_speed_ab.json).  'none' = stage 2 shares max_iter (parity).
 _s2 = os.environ.get("BENCH_S2_ITER", "3")
 S2_ITER = None if _s2 == "none" else int(_s2)
+# pipelined-mode batch: the synced headline optimum (c320) and the
+# pipelined/serving optimum need not coincide (pipelined peaked at c112
+# with f32 compute, unroll_chunks_flat.json); 0 = reuse the synced batch
+PIPELINE_CHUNKS = int(os.environ.get("BENCH_PIPELINE_CHUNKS", "0"))
 
 # torch-CPU reference-equivalent baseline (windows/sec, two stages), as
 # measured by scripts/measure_torch_baseline.py on this machine; see
 # BASELINE.md.  Used when baseline_torch.json is absent.
 FALLBACK_BASELINE_WINDOWS_PER_SEC = 0.29
+
+# SESSION SANITY (the degraded-claim trap, CLAUDE.md): a TPU process that
+# starts right after a crashed/killed TPU process can run ~13x slow —
+# per-launch costs behave as if every solver iteration pays a tunnel RTT
+# — while completing without error.  Round 3's official bench recorded
+# 20.2k w/s in such a session while the same config measured 27.3k in a
+# healthy one (c320_dtype_rematch_ab.json).  Guard: when the measured
+# best launch exceeds 1.5x the recorded healthy cost of the DEFAULT
+# config, the bench sleeps out the claim-wedge window and re-execs
+# itself in a fresh process (up to 2 retries) instead of recording a
+# degraded headline.  The gate only applies at the default config (any
+# perf-relevant BENCH_* override disables it) unless
+# BENCH_EXPECTED_LAUNCH_S supplies an expectation for the overridden
+# config.  BENCH_SANITY=0 disables entirely (the CPU smoke test path is
+# auto-exempt: the gate requires a TPU backend).
+_PERF_ENVS = (
+    "BENCH_CHUNKS", "BENCH_SOLVER", "BENCH_SAMPLING", "BENCH_FOLD_BN",
+    "BENCH_MODE", "BENCH_DENSE_DECODER", "BENCH_DECODER_IMPL",
+    "BENCH_DECODER_DTYPE", "BENCH_FUSED_PROBES", "BENCH_COMPACT_DIRECTION",
+    "BENCH_CIRCULAR_HISTORY", "BENCH_FUSED_ENERGY", "BENCH_HISTORY",
+    "BENCH_MAX_ITER", "BENCH_STEP_CANDIDATES", "BENCH_HEATMAP_DTYPE",
+    "BENCH_COMPUTE_DTYPE", "BENCH_HEATMAP_CROP", "BENCH_UNROLL",
+    "BENCH_S2_ITER", "BENCH_LATENT", "BENCH_HIDDEN", "BENCH_GLOBAL_W3D",
+    "BENCH_RESIDUAL")
+# healthy per-launch seconds of the default program (c320 = 3840 windows,
+# bf16 compute + bf16 heat): 27278 w/s -> 0.141 s (c320_dtype_rematch_
+# ab.json arm conv_bf16compute; bf16 heat is +2.5% on top — the constant
+# stays at the conservative f32-heat figure)
+EXPECTED_LAUNCH_S = float(os.environ.get("BENCH_EXPECTED_LAUNCH_S", "0.141"))
+SANITY = os.environ.get("BENCH_SANITY", "1") == "1"
+SANITY_FACTOR = float(os.environ.get("BENCH_SANITY_FACTOR", "1.5"))
+_SANITY_RETRY = int(os.environ.get("BENCH_SANITY_RETRY", "0"))
+_CONFIG_IS_DEFAULT = not any(os.environ.get(v) for v in _PERF_ENVS)
+
+
+def _reexec_fresh(best: float) -> None:
+    """Replace this (degraded) process with a fresh bench run.  The
+    60 s claim-wedge wait must fall BETWEEN the old connection dropping
+    (at exec, when CLOEXEC sockets close) and the new claim — so the
+    sleep is signalled via env and executed by the NEW process before it
+    imports jax (see top of main)."""
+    import sys
+    print(f"bench: session degraded (launch {best*1e3:.0f} ms vs "
+          f"expected {EXPECTED_LAUNCH_S*1e3:.0f} ms); re-exec "
+          f"{_SANITY_RETRY + 1}/2", file=sys.stderr, flush=True)
+    env = dict(os.environ,
+               BENCH_SANITY_RETRY=str(_SANITY_RETRY + 1),
+               BENCH_SANITY_SLEEP=os.environ.get("BENCH_SANITY_SLEEP_S",
+                                                 "75"))
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)], env)
 
 # MFU accounting: XLA cost analysis of the compiled program gives total
 # FLOPs per launch; achieved FLOP/s / peak = MFU.  v5e peak is 197 TFLOPS
@@ -150,6 +208,13 @@ def load_baseline() -> float:
 
 
 def main():
+    # re-exec'd after a degraded-session detection: the old process's
+    # tunnel connection dropped at exec; wait out the claim-wedge window
+    # BEFORE this process claims (CLAUDE.md: ~60 s)
+    _sleep = os.environ.pop("BENCH_SANITY_SLEEP", None)
+    if _sleep:
+        time.sleep(float(_sleep))
+
     import jax
     import jax.numpy as jnp
 
@@ -203,6 +268,7 @@ def main():
     chunks = [synthetic_chunk(FRAMES_PER_CHUNK, seed=SEED + i)
               for i in range(N_CHUNKS)]
     wins = num_windows(FRAMES_PER_CHUNK) * N_CHUNKS
+    staged_pipe = None
 
     # Pre-stage inputs on device: the metric is optimization throughput,
     # not host->device transfer (production keeps data resident/streamed).
@@ -216,6 +282,8 @@ def main():
         # ~94 ms of a 237 ms launch); the timed region is the production
         # hot path — one program launch + one sync.
         staged = opt.stage(chunks)
+        if PIPELINE_CHUNKS and PIPELINE_CHUNKS < N_CHUNKS:
+            staged_pipe = opt.stage(chunks[:PIPELINE_CHUNKS])
         # Free the raw full-map pool: the solve program reads only the
         # staged (pre-cropped) arrays, and production serving likewise
         # drops raw maps once staged.  Keeping ~25 MB/chunk of full maps
@@ -243,21 +311,46 @@ def main():
         times.append(time.perf_counter() - t0)
 
     best = min(times)
+
+    # session-sanity gate (see the module docstring block above): a
+    # degraded claim inflates the launch cost well past 1.5x — re-exec
+    # in a fresh process rather than recording it as the headline
+    degraded = False
+    if (SANITY and MODE in ("batched", "flat")
+            and jax.default_backend() != "cpu"
+            and (_CONFIG_IS_DEFAULT
+                 or "BENCH_EXPECTED_LAUNCH_S" in os.environ)):
+        if best > SANITY_FACTOR * EXPECTED_LAUNCH_S:
+            if _SANITY_RETRY < 2:
+                _reexec_fresh(best)  # never returns
+            degraded = True  # retries exhausted: record, but flag it
+
     wps = wins / best
 
     # Pipelined serving throughput: issue DEPTH launches back-to-back and
     # sync once — async dispatch overlaps the tunnel RTT with device
     # compute, the steady-state regime of a stream of staged batches.
+    # BENCH_PIPELINE_CHUNKS > 0 measures the pipelined figure at its own
+    # (smaller) batch: the synced optimum (c320) and the pipelined
+    # optimum need not coincide — the staged_pipe batch is a prefix of
+    # the same pool.
     pipelined_wps = None
     if MODE in ("batched", "flat"):
         depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "4"))
+        pipe_staged, pipe_wins = staged, wins
+        if staged_pipe is not None:
+            pipe_staged = staged_pipe
+            pipe_wins = num_windows(FRAMES_PER_CHUNK) * PIPELINE_CHUNKS
         if depth > 1:
+            # warm the (possibly differently-shaped) pipelined program
+            jax.block_until_ready(opt.optimize_chunks_batched(
+                pipe_staged, mode=bmode).optimized)
             t0 = time.perf_counter()
-            outs = [opt.optimize_chunks_batched(staged, mode=bmode)
+            outs = [opt.optimize_chunks_batched(pipe_staged, mode=bmode)
                     for _ in range(depth)]
             for o in outs:
                 jax.block_until_ready(o.optimized)
-            pipelined_wps = wins * depth / (time.perf_counter() - t0)
+            pipelined_wps = pipe_wins * depth / (time.perf_counter() - t0)
     baseline = load_baseline()
     record = {
         "metric": "two_stage_latent_optimization_throughput",
@@ -267,6 +360,10 @@ def main():
     }
     if pipelined_wps is not None:
         record["pipelined_windows_per_sec"] = round(pipelined_wps, 1)
+        if staged_pipe is not None:
+            record["pipeline_chunks"] = PIPELINE_CHUNKS
+    if degraded:
+        record["session_degraded"] = True
 
     if MFU and MODE in ("batched", "flat"):
         # roofline accounting from the compiled executable itself: the

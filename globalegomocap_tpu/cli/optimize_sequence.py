@@ -135,6 +135,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fall back to full maps when the peak crops hold "
                         "less than this mean fraction of map mass "
                         "(multimodal-map guard; 0 disables)")
+    p.add_argument("--guard_crop", default=0, type=int,
+                   help="guard-trip fast path: stage k x k crops centered "
+                        "at the PROJECTED INITIAL ESTIMATE (instead of "
+                        "full maps) when the crop-mass guard trips — "
+                        "keeps the fused-kernel path on multimodal/"
+                        "flattened maps (0 = full-map fallback, parity)")
     p.add_argument("--out_dir", default="out", type=str)
     p.add_argument("--profile_dir", default=None, type=str,
                    help="capture a jax.profiler device trace here")
@@ -192,6 +198,7 @@ def main(argv=None):
         heatmap_dtype=args.heatmap_dtype,
         heatmap_crop=args.heatmap_crop,
         heatmap_crop_min_mass=args.heatmap_crop_min_mass,
+        guard_crop=args.guard_crop,
         input_smooth_sigma=args.input_smooth_sigma,
         fold_bn=args.fold_bn,
         dense_decoder=args.dense_decoder,

@@ -45,11 +45,23 @@ def main(argv=None):
     p.add_argument("--max_batches", default=0, type=int,
                    help="stop after N sequences (0 = no limit)")
     p.add_argument("--max_in_flight", default=3, type=int)
-    p.add_argument("--compute_dtype", default="float32",
+    # serve is the DEPLOYMENT surface, so unlike cli/optimize_sequence
+    # (whose defaults track reference parity) its dtype defaults are the
+    # measured production stack: bf16 solver evals (f32 encode/offset/
+    # final decode — pipeline mixed precision, +24%/c320,
+    # c320_dtype_rematch_ab.json) and bf16 staged heat crops (f32 math
+    # in-kernel, +2.5%, heat_dtype_ab.json) — both quality-gated per
+    # corpus (quality_iter_crop_bf16*/heat16.json).
+    p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="whole-prior activation dtype in the solve "
                         "(params stay f32); bfloat16 measured +24% "
                         "(c320_dtype_rematch_ab.json)")
+    p.add_argument("--heatmap_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="staged heat-crop storage dtype (kernel math "
+                        "stays f32); bfloat16 measured +2.5% "
+                        "(heat_dtype_ab.json)")
     p.add_argument("--stage_on_host", default=True, type=str2bool,
                    help="crop heatmaps in numpy BEFORE the host->device "
                         "transfer (serve ingests host-resident pkl "
@@ -96,7 +108,8 @@ def main(argv=None):
                             global_max_iter=args.global_max_iter,
                             init=args.init, init_seed=args.init_seed),
         sampling_impl=args.sampling, heatmap_dtype=args.heatmap_dtype,
-        heatmap_crop=args.heatmap_crop, fold_bn=args.fold_bn,
+        heatmap_crop=args.heatmap_crop, guard_crop=args.guard_crop,
+        fold_bn=args.fold_bn,
         dense_decoder=args.dense_decoder, decoder_impl=args.decoder_impl,
         decoder_dtype=args.decoder_dtype,
         compute_dtype=args.compute_dtype,

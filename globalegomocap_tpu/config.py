@@ -215,6 +215,19 @@ class OptimizeConfig:
     # line-search candidates): measured better aligned accuracy on the
     # degraded v2 corpus at ~15% speed cost, never affects clean corpora
     robust_tier_on_guard: bool = True
+    # guard-trip FAST PATH: when > 0, a tripped crop-mass guard stages
+    # k=guard_crop crops centered at the PROJECTED INITIAL ESTIMATE
+    # instead of falling back to full maps.  Peak-centering fails on
+    # multimodal maps because argmax may pick a distractor mode — but the
+    # solver only ever samples near the projected estimate (latent moves
+    # are a few pixels), so estimate-centered crops keep the sampled
+    # neighbourhood (and its gradients) while staying on the fused-kernel
+    # path.  0 = reference-parity full-map fallback.
+    guard_crop: int = 0
+    # crop centering for staging: 'peak' (argmax, the fast-tier default)
+    # or 'estimate' (projected initial estimate — what the guard-trip
+    # fast path switches to; resolved by driver._cfg_for_coverage)
+    crop_center: str = "peak"
     merge: bool = True
     # post-solve window merging as ONE precomputed (covered, W*T) matmul
     # per merged field instead of scatter-add/count/divide dispatches,

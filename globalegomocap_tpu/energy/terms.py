@@ -236,6 +236,79 @@ def crop_heatmaps_channels_last(heatmaps: jnp.ndarray, k: int):
     return crops, origins, (h, w)
 
 
+def crop_heatmaps_at_centers_channels_last(heatmaps: jnp.ndarray, k: int,
+                                           centers: jnp.ndarray):
+    """`crop_heatmaps_channels_last` with CALLER-SUPPLIED crop centers
+    instead of the per-map argmax.
+
+    The guard-trip fast path (OptimizeConfig.guard_crop) centers each
+    crop at the projected initial pose estimate: on multimodal /
+    distractor maps the argmax may sit on the wrong mode, but the latent
+    solver only ever samples within a few pixels of the projected
+    estimate — so estimate-centered crops preserve exactly the
+    neighbourhood the solve reads (reference full-map semantics:
+    optimizer.py:139-149 samples 4 texels around the projection) while
+    keeping the k*k staged contract of the fused kernel.
+
+    heatmaps: (..., H, W, J); centers: (..., J, 2) float (cy, cx) in
+    full-map pixels (any out-of-range values clamp to the map).
+    -> (crops (..., k, k, J), origins (..., J, 2) float, (H, W)).
+    """
+    h, w = heatmaps.shape[-3], heatmaps.shape[-2]
+    k = min(int(k), h, w)
+    c = jnp.round(centers).astype(jnp.int32)
+    oy = jnp.clip(c[..., 0] - k // 2, 0, h - k)            # (..., J)
+    ox = jnp.clip(c[..., 1] - k // 2, 0, w - k)
+    iy = oy[..., None, None, :] + jnp.arange(k)[:, None, None]
+    rows = jnp.take_along_axis(heatmaps, iy, axis=-3)      # (..., k, W, J)
+    ix = ox[..., None, None, :] + jnp.arange(k)[None, :, None]
+    crops = jnp.take_along_axis(rows, ix, axis=-2)         # (..., k, k, J)
+    origins = jnp.stack([oy, ox], axis=-1).astype(jnp.float32)
+    return crops, origins, (h, w)
+
+
+def projected_estimate_centers(est_local: jnp.ndarray, camera,
+                               h: int, w: int) -> jnp.ndarray:
+    """Crop centers for `crop_heatmaps_at_centers_channels_last`: the
+    initial local-pose estimates projected into full-map pixels.
+
+    est_local: (F, J, 3) camera-frame estimates -> (F, J, 2) (cy, cx).
+    Uses the same fisheye projection + grid mapping the energy samples
+    with (project_to_heatmap_grid), so center and sample coordinates
+    agree exactly.
+    """
+    f, j = est_local.shape[0], est_local.shape[1]
+    grid = project_to_heatmap_grid(
+        est_local.reshape(f * j, 3).astype(jnp.float32), camera)
+    cx = (grid[:, 0] + 1.0) * 0.5 * (w - 1)
+    cy = (grid[:, 1] + 1.0) * 0.5 * (h - 1)
+    return jnp.stack([cy, cx], axis=-1).reshape(f, j, 2)
+
+
+def crop_heatmaps_at_centers_channels_last_np(heatmaps, k: int, centers):
+    """Numpy mirror of `crop_heatmaps_at_centers_channels_last` for the
+    HOST staging path (stage(on_host=True) with a tripped guard +
+    OptimizeConfig.guard_crop).  Bit-exact vs the jax version (pure
+    gather at identical rounded/clipped origins).
+
+    heatmaps: (..., H, W, J); centers: (..., J, 2) float (cy, cx).
+    -> (crops (..., k, k, J), origins (..., J, 2) float32, (H, W)).
+    """
+    import numpy as np
+    heatmaps = np.asarray(heatmaps)
+    h, w = heatmaps.shape[-3], heatmaps.shape[-2]
+    k = min(int(k), h, w)
+    c = np.round(np.asarray(centers)).astype(np.int64)
+    oy = np.clip(c[..., 0] - k // 2, 0, h - k)
+    ox = np.clip(c[..., 1] - k // 2, 0, w - k)
+    iy = oy[..., None, None, :] + np.arange(k)[:, None, None]
+    rows = np.take_along_axis(heatmaps, iy, axis=-3)
+    ix = ox[..., None, None, :] + np.arange(k)[None, :, None]
+    crops = np.take_along_axis(rows, ix, axis=-2)
+    origins = np.stack([oy, ox], axis=-1).astype(np.float32)
+    return crops, origins, (h, w)
+
+
 def crop_heatmaps_channels_last_np(heatmaps, k: int):
     """Numpy mirror of `crop_heatmaps_channels_last` for HOST-side staging.
 

@@ -121,7 +121,16 @@ class SequenceOptimizer:
         if cov is not None and cov < cfg.heatmap_crop_min_mass:
             from dataclasses import replace as _rp
             from globalegomocap_tpu.config import with_overrides
-            cfg = with_overrides(cfg, heatmap_crop=0)
+            if cfg.guard_crop > 0:
+                # guard-trip fast path: larger crops centered at the
+                # PROJECTED ESTIMATE (the argmax is untrustworthy on the
+                # maps that trip the guard, but the solver only samples
+                # near the projection) — keeps the fused-kernel staged
+                # contract instead of paying the full-map XLA fallback
+                cfg = with_overrides(cfg, heatmap_crop=cfg.guard_crop,
+                                     crop_center="estimate")
+            else:
+                cfg = with_overrides(cfg, heatmap_crop=0)
             if (cfg.robust_tier_on_guard
                     and cfg.solver.method == "lbfgs_fixed"):
                 cfg = _rp(cfg, solver=_rp(
@@ -206,7 +215,13 @@ class SequenceOptimizer:
         # "arguments" and a compile-time HBM OOM (heat_ceiling_probe.json
         # re-diagnosed unroll_chunks_flat2.json's "solve-temp OOM" as
         # this).  Run the identical program per segment and concatenate
-        # the (64x smaller) staged outputs — bit-exact.
+        # the (64x smaller) staged outputs — bit-exact.  NOTE: the lift
+        # applies only to the cropped (k>0) path — when the crop guard
+        # trips (k=0) the segments stage FULL maps and the eager
+        # concatenate transiently holds both the per-segment stacks and
+        # the result (~2x full-map HBM), so segmentation buys no
+        # headroom for large guard-tripped batches; those should lower
+        # the chunk count instead.
         seg = self.cfg.stage_segment_chunks
         parts = ([list(range(i, min(i + seg, len(chunks))))
                   for i in range(0, len(chunks), seg)]
@@ -228,7 +243,8 @@ class SequenceOptimizer:
 
         staged_parts = [
             self._stage_arrays([chunks[i] for i in p],
-                               [heat_l[i] for i in p], k)
+                               [heat_l[i] for i in p], k,
+                               center=eff.crop_center)
             for p in parts]
         if len(staged_parts) == 1:
             est, cams, heat, gt, origins = staged_parts[0]
@@ -253,22 +269,36 @@ class SequenceOptimizer:
         return StagedBatch(est, cams, heat, gt, n_chunks, cov,
                            origins, full_hw)
 
-    def _stage_arrays(self, chunks, heat_l, k: int):
+    def _stage_arrays(self, chunks, heat_l, k: int,
+                      center: str = "peak"):
         """One staging-program launch over <= stage_segment_chunks
         chunks; returns the UNPADDED stacked (est, cams, heat, gt,
-        origins) device arrays (heat flat (C, F, k*k*J) when k > 0)."""
-        key = ("stage_prog", len(chunks), heat_l[0].shape, k)
+        origins) device arrays (heat flat (C, F, k*k*J) when k > 0).
+        center='estimate' centers each crop at the projected initial
+        estimate instead of the map argmax (the guard-trip fast path)."""
+        key = ("stage_prog", len(chunks), heat_l[0].shape, k, center)
         if key not in self._jit_cache:
             from globalegomocap_tpu.energy.terms import (
-                crop_heatmaps_channels_last)
+                crop_heatmaps_at_centers_channels_last,
+                crop_heatmaps_channels_last,
+                projected_estimate_centers)
+            cam = self._camera
 
             def prog(est_l, cams_l, heat_l, gt_l):
                 est = jnp.stack(est_l)
                 cams = jnp.stack(cams_l)
                 gt = jnp.stack(gt_l)
                 if k > 0:
-                    cr = [crop_heatmaps_channels_last(h, k)[:2]
-                          for h in heat_l]
+                    if center == "estimate":
+                        hh, ww = (heat_l[0].shape[-3],
+                                  heat_l[0].shape[-2])
+                        cr = [crop_heatmaps_at_centers_channels_last(
+                                  h, k, projected_estimate_centers(
+                                      e, cam, hh, ww))[:2]
+                              for h, e in zip(heat_l, est_l)]
+                    else:
+                        cr = [crop_heatmaps_channels_last(h, k)[:2]
+                              for h in heat_l]
                     # stage crops FLAT (C, F, k*k*J): a 5-D stacked output
                     # forces layout {0,3,4,2,1} on every per-chunk crop
                     # temp, padding 375 KB buffers 128x to 46.9 MB and
@@ -331,6 +361,33 @@ class SequenceOptimizer:
             cov = None
         eff = self._cfg_for_coverage(cov)
         k = eff.heatmap_crop if eff.energy.reproj != 0.0 else 0
+
+        if k > 0 and (k != kk or eff.crop_center != "peak"):
+            # guard-trip fast path (OptimizeConfig.guard_crop): the
+            # peak-centered kk pre-crops above are the wrong
+            # size/centering — re-crop each chunk at the projected-
+            # estimate centers.  Centers come from ONE tiny device
+            # launch per chunk over the (F, 15, 3) estimates; the full
+            # maps never cross the tunnel.
+            from globalegomocap_tpu.energy.terms import (
+                crop_heatmaps_at_centers_channels_last_np,
+                projected_estimate_centers)
+            hh, ww = (np.asarray(chunks[0].heatmaps).shape[-3],
+                      np.asarray(chunks[0].heatmaps).shape[-2])
+            cam = self._camera
+            ckey = ("est_centers", hh, ww)
+            if ckey not in self._jit_cache:
+                self._jit_cache[ckey] = jax.jit(
+                    lambda e: projected_estimate_centers(e, cam, hh, ww))
+            crops_l, orgs_l = [], []
+            for c in chunks:
+                cen = np.asarray(self._jit_cache[ckey](
+                    jnp.asarray(c.estimated_local)))
+                cr, org, full_hw = \
+                    crop_heatmaps_at_centers_channels_last_np(
+                        np.asarray(c.heatmaps), k, cen)
+                crops_l.append(cr.reshape(cr.shape[0], -1))
+                orgs_l.append(org)
 
         if k > 0:
             heat = np.stack(crops_l)

@@ -55,6 +55,9 @@ def production_base(**overrides):
         # bf16 solver evals (f32 encode/output), production default
         # since the c320 rematch + per-corpus quality gates
         compute_dtype="bfloat16",
+        # bf16 staged heat crops (f32 kernel math), production default
+        # since round 4 (heat_dtype_ab.json + quality_iter_crop_heat16)
+        heatmap_dtype="bfloat16",
         fold_bn=True, dense_decoder=True, decoder_impl="conv")
     return replace(base, **overrides) if overrides else base
 

@@ -22,8 +22,6 @@ from _ab_harness import (build_prior_pair, make_pool, production_base,
 
 
 def main():
-    from dataclasses import replace
-
     from globalegomocap_tpu.optimize.window import num_windows
 
     uniq = int(os.environ.get("AB_POOL_UNIQUE", "16"))
@@ -31,13 +29,15 @@ def main():
     model, v1, v2 = build_prior_pair(base)
 
     out = {"pool_unique": uniq, "results": {}}
-    best = 0.0
     for label, n_chunks in (("bf16_c448", 448), ("bf16_c640", 640),
                             ("bf16_c896", 896)):
         if label == "bf16_c896":
+            # gate c896 on c640 beating the c448 comparator (NOT a
+            # running max that already includes c640 — advisor finding)
             r640 = out["results"].get("bf16_c640", {})
-            if "windows_per_sec" not in r640 or \
-                    r640["windows_per_sec"] <= best:
+            r448 = out["results"].get("bf16_c448", {})
+            base_wps = r448.get("windows_per_sec", 0.0)
+            if r640.get("windows_per_sec", 0.0) <= base_wps:
                 out["results"][label] = {"skipped": "c640 did not improve"}
                 break
         chunks = make_pool(n_chunks, unique=uniq)
@@ -46,7 +46,6 @@ def main():
             rec = run_arm(model, v1, v2, base, chunks, wins)
             rec["chunks"] = n_chunks
             out["results"][label] = rec
-            best = max(best, rec["windows_per_sec"])
         except Exception as e:
             out["results"][label] = {"chunks": n_chunks,
                                      "error": f"{type(e).__name__}: {e}"}

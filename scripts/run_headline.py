@@ -176,7 +176,13 @@ def main():
                          # these strict gates and the per-corpus
                          # quality_iter_crop_bf16* matrix — default
                          compute_dtype=os.environ.get(
-                             "HEADLINE_COMPUTE_DTYPE", "bfloat16"))
+                             "HEADLINE_COMPUTE_DTYPE", "bfloat16"),
+                         # bf16 staged heat crops (f32 kernel math):
+                         # +2.5% and quality-gated at crop8
+                         # (quality_iter_crop_heat16.json); these strict
+                         # gates re-validate it at the headline's crop16
+                         heatmap_dtype=os.environ.get(
+                             "HEADLINE_HEATMAP_DTYPE", "bfloat16"))
     opt = SequenceOptimizer(build_model(cfg), local_vars, global_vars, cfg)
 
     # 5 sequences x 5 chunks x 100 frames (the reference's scale)

@@ -72,6 +72,9 @@ def main():
         # the c320 rematch + per-corpus quality gates
         # (c320_dtype_rematch_ab.json, quality_iter_crop_bf16*.json)
         compute_dtype=os.environ.get("SERVE_COMPUTE_DTYPE", "bfloat16"),
+        # bf16 staged heat crops (f32 kernel math): +2.5%, quality-gated
+        # (heat_dtype_ab.json, quality_iter_crop_heat16.json)
+        heatmap_dtype=os.environ.get("SERVE_HEATMAP_DTYPE", "bfloat16"),
         heatmap_crop=8)
     model = build_model(cfg)
     x0 = jnp.zeros((1, 10, 45))
