@@ -48,6 +48,69 @@ def synthetic_motion(n_frames: int, seed: int = 0,
     return base[None] + wobble + sway
 
 
+def synthetic_motion_contacts(n_frames: int, seed: int = 0,
+                              motion_scale: float = 0.06,
+                              step_period: int = 10,
+                              impact_scale: float = 0.035,
+                              decay: float = 4.0) -> np.ndarray:
+    """(N, 15, 3) DISCONTINUOUS-CONTACT motion: the smooth sinusoidal
+    carrier plus (a) a triangle-wave whole-body bob whose velocity flips
+    sign at every footstrike (C0 but not C1) and (b) an exponentially
+    decaying random per-joint impact transient launched at each contact
+    frame — steps and impacts, the regime superposed sinusoids cannot
+    represent (VERDICT r3: fast-tier findings were corpus-shape-dependent
+    on smooth motion; the reference's studio sequences contain real
+    contacts, reference: README.md:29-34).
+
+    step_period is in frames (10 ≈ 2.5 steps/s at 25 fps).
+    """
+    rng = np.random.default_rng(seed + 13)
+    out = synthetic_motion(n_frames, seed, motion_scale=motion_scale)
+    t = np.arange(n_frames)
+    phase = (t % step_period) / step_period
+    # triangle wave: |velocity| constant, sign flips at contact + apex
+    bob = impact_scale * (1.0 - 2.0 * np.abs(phase - 0.5))
+    out[:, :, 2] += bob[:, None]          # z = depth below the head cam
+    contacts = np.nonzero(np.diff(phase) < 0)[0] + 1
+    for c in contacts:
+        kick = rng.normal(scale=impact_scale, size=(15, 3))
+        env = np.exp(-decay * np.arange(n_frames - c) / step_period)
+        out[c:] += kick[None] * env[:, None, None]
+    return out
+
+
+def dropout_heatmaps(maps: np.ndarray, seed: int = 0,
+                     rate: float = 0.2, min_run: int = 5,
+                     max_run: int = 20,
+                     floor: float = 0.01) -> np.ndarray:
+    """Occlusion DROPOUT of (N, H, W, J) heatmaps: contiguous per-joint
+    runs of frames where the joint's map VANISHES entirely (uniform
+    background floor, no peak at all) — a joint leaving the fisheye
+    frustum or fully occluded, as opposed to `degrade_heatmaps`'
+    flattening (which keeps a damped peak the argmax can still find).
+
+    rate ~ expected fraction of (frame, joint) cells dropped; runs are
+    uniform(min_run, max_run) frames.  The floor keeps total map mass
+    positive so the crop-mass guard sees the dropout (a crop of a
+    uniform map holds ~k^2/(H*W) of its mass).
+    """
+    rng = np.random.default_rng(seed + 17)
+    n, h, w, j = maps.shape
+    out = maps.copy()
+    mean_run = 0.5 * (min_run + max_run)
+    p_start = min(1.0, rate / mean_run)
+    for k in range(j):
+        i = 0
+        while i < n:
+            if rng.random() < p_start:
+                run = int(rng.integers(min_run, max_run + 1))
+                out[i:i + run, :, :, k] = floor
+                i += run
+            else:
+                i += 1
+    return out.astype(np.float32)
+
+
 def synthetic_camera_trajectory(n_frames: int, seed: int = 0
                                 ) -> np.ndarray:
     """(N, 4, 4) smooth cam->world trajectory: walking arc with slow yaw."""
@@ -169,7 +232,9 @@ def synthetic_chunk(n_frames: int = 100, seed: int = 0,
                     cam_noise: dict | None = None,
                     degrade: dict | None = None,
                     motion_scale: float = 0.05,
-                    freq_range: tuple = (0.3, 1.2)) -> TestChunk:
+                    freq_range: tuple = (0.3, 1.2),
+                    motion: np.ndarray | None = None,
+                    heat_transform=None) -> TestChunk:
     """A full synthetic test chunk in the test_data.pkl contract.
 
     Ground truth = TRUE camera trajectory ∘ true local pose; the estimated
@@ -185,11 +250,17 @@ def synthetic_chunk(n_frames: int = 100, seed: int = 0,
     NOISY SLAM trajectory; GT comes from the mocap system).
     degrade: kwargs for `degrade_heatmaps` ({} for defaults, None off).
     motion_scale/freq_range: passed to `synthetic_motion`.
+    motion: pre-computed (N, 15, 3) true local motion (overrides
+    synthetic_motion — the v3 contact corpus passes
+    synthetic_motion_contacts output).
+    heat_transform: callable (maps, seed) -> maps applied AFTER degrade
+    (the v3 corpus passes dropout_heatmaps).
     """
     rng = np.random.default_rng(seed + 2)
-    local_true = synthetic_motion(n_frames, seed,
-                                  motion_scale=motion_scale,
-                                  freq_range=freq_range)
+    local_true = (motion if motion is not None else
+                  synthetic_motion(n_frames, seed,
+                                   motion_scale=motion_scale,
+                                   freq_range=freq_range))
     cams_true = synthetic_camera_trajectory(n_frames, seed)
     cams = (cams_true if cam_noise is None
             else perturb_camera_trajectory(cams_true, seed, **cam_noise))
@@ -208,6 +279,8 @@ def synthetic_chunk(n_frames: int = 100, seed: int = 0,
     heat = render_heatmaps(local_true, camera)
     if degrade is not None:
         heat = degrade_heatmaps(heat, seed, **degrade)
+    if heat_transform is not None:
+        heat = heat_transform(heat, seed)
     return TestChunk(
         estimated_local=est_local.astype(np.float32),
         estimated_global=est_global.astype(np.float32),
@@ -269,3 +342,31 @@ def synthetic_chunk_v2(n_frames: int = 100, seed: int = 0,
                            degrade={},          # occlusion+distractors
                            motion_scale=0.10,
                            freq_range=(0.5, 2.5))
+
+
+def synthetic_chunk_v3(n_frames: int = 100, seed: int = 0,
+                       noise_std: float = 0.03,
+                       camera: fisheye.FisheyeParams | None = None
+                       ) -> TestChunk:
+    """The THIRD evaluation regime (VERDICT r3 #6 — fast-tier de-risk):
+    discontinuous-contact motion (footstrike bob + impact transients,
+    `synthetic_motion_contacts`) and heatmap occlusion DROPOUT (joints
+    vanishing to a uniform floor for contiguous runs, `dropout_heatmaps`
+    — not the flattened-but-peaked maps of v2), over jitter-only camera
+    noise (the error class the optimizer can actually fix; drift is
+    unobservable without loop closure).
+
+    What it probes that v1/v2 cannot: the smooth prior + fast tier
+    against velocity discontinuities, and the crop path against maps
+    with NO usable mode at all (the dropout floor pulls crop-mass
+    coverage down, so the guard should trip and restore the robust
+    tier).  Reference bar: the studio sequences' real failure modes
+    (reference: README.md:29-34).
+    """
+    motion = synthetic_motion_contacts(n_frames, seed)
+    return synthetic_chunk(
+        n_frames, seed, noise_std=noise_std, camera=camera,
+        cam_noise={"drift_rot": 0.0, "drift_trans": 0.0,
+                   "jitter_rot": 0.008, "jitter_trans": 0.008},
+        motion=motion,
+        heat_transform=lambda m, s: dropout_heatmaps(m, s))

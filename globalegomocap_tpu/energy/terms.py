@@ -204,6 +204,25 @@ def crop_heatmaps(heatmaps: jnp.ndarray, k: int):
     return crops, origins, (h, w)
 
 
+def crop_heatmaps_at_centers(heatmaps: jnp.ndarray, k: int,
+                             centers: jnp.ndarray):
+    """`crop_heatmaps` ((..., H, W) layout) with CALLER-SUPPLIED centers
+    (..., 2) as (cy, cx) — see crop_heatmaps_at_centers_channels_last
+    for why the guard-trip fast path centers at the projected estimate
+    instead of the argmax."""
+    h, w = heatmaps.shape[-2], heatmaps.shape[-1]
+    k = min(int(k), h, w)
+    c = jnp.round(centers).astype(jnp.int32)
+    oy = jnp.clip(c[..., 0] - k // 2, 0, h - k)
+    ox = jnp.clip(c[..., 1] - k // 2, 0, w - k)
+    iy = oy[..., None] + jnp.arange(k)
+    rows = jnp.take_along_axis(heatmaps, iy[..., None], axis=-2)
+    ix = ox[..., None] + jnp.arange(k)
+    crops = jnp.take_along_axis(rows, ix[..., None, :], axis=-1)
+    origins = jnp.stack([oy, ox], axis=-1).astype(jnp.float32)
+    return crops, origins, (h, w)
+
+
 def crop_heatmaps_channels_last(heatmaps: jnp.ndarray, k: int):
     """`crop_heatmaps` for the STORAGE layout (..., H, W, J): crop each
     joint's map around its peak WITHOUT first transposing the full-size
@@ -272,17 +291,17 @@ def projected_estimate_centers(est_local: jnp.ndarray, camera,
     """Crop centers for `crop_heatmaps_at_centers_channels_last`: the
     initial local-pose estimates projected into full-map pixels.
 
-    est_local: (F, J, 3) camera-frame estimates -> (F, J, 2) (cy, cx).
-    Uses the same fisheye projection + grid mapping the energy samples
-    with (project_to_heatmap_grid), so center and sample coordinates
-    agree exactly.
+    est_local: (..., J, 3) camera-frame estimates -> (..., J, 2) as
+    (cy, cx).  Uses the same fisheye projection + grid mapping the energy
+    samples with (project_to_heatmap_grid), so center and sample
+    coordinates agree exactly.
     """
-    f, j = est_local.shape[0], est_local.shape[1]
+    lead = est_local.shape[:-1]
     grid = project_to_heatmap_grid(
-        est_local.reshape(f * j, 3).astype(jnp.float32), camera)
+        est_local.reshape(-1, 3).astype(jnp.float32), camera)
     cx = (grid[:, 0] + 1.0) * 0.5 * (w - 1)
     cy = (grid[:, 1] + 1.0) * 0.5 * (h - 1)
-    return jnp.stack([cy, cx], axis=-1).reshape(f, j, 2)
+    return jnp.stack([cy, cx], axis=-1).reshape(lead + (2,))
 
 
 def crop_heatmaps_at_centers_channels_last_np(heatmaps, k: int, centers):

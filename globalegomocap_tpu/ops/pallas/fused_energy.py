@@ -289,7 +289,19 @@ def _energy_and_grad(pose_rt, anchor_t, crops, ox, oy, bone, wvec, poly,
     # the (blk, 1) energy output) to be a multiple of 8 (or the full
     # array dim): round the block UP to a multiple of 8 and let the
     # padding absorb the remainder (headline-sized launches hit b=60)
-    blk = min(BLOCK, -(-b // 8) * 8)
+    #
+    # The double-buffered crop block (blk, k*k, L->256 lanes) dominates
+    # scoped VMEM and scales with k^2: the guard-trip fast path
+    # (OptimizeConfig.guard_crop) runs k=16/24 crops through this same
+    # kernel, so shrink the window block until that stream fits the
+    # 16 MB budget (floor 8 — the multiple-of-8 rule above).  k=8 f32
+    # (the production point) keeps blk=16 unchanged.
+    lanes = -(-L // 128) * 128        # lane padding (150 -> 256)
+    cap = BLOCK
+    while cap > 8 and 2 * cap * k * k * lanes * crops.dtype.itemsize \
+            > 8 * 2**20:
+        cap //= 2
+    blk = min(cap, -(-b // 8) * 8)
     pad = (-b) % blk
     if pad:
         zf = lambda a, n, ax: jnp.concatenate(  # noqa: E731

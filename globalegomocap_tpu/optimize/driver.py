@@ -61,6 +61,10 @@ class StagedBatch:
     crop_coverage: float | None  # guard statistic, resolved at staging
     origins: Any = None          # (C, F, J, 2) crop origins if pre-cropped
     full_hw: tuple | None = None  # original (H, W) if pre-cropped
+    accel_mean: float | None = None  # input motion statistic (mean
+    # per-frame acceleration magnitude of the estimates) — resolved at
+    # staging when the optimizer has a prior bank or reference stats to
+    # compare against (optimize/prior_bank.py)
 
 
 @dataclass
@@ -72,6 +76,17 @@ class SequenceOptimizer:
     local_variables: Any
     global_variables: Any
     cfg: OptimizeConfig
+    # prior-regime matching (optimize/prior_bank.py, VERDICT r3 #7):
+    # a PriorBank auto-selects the prior pair whose training-motion
+    # statistic is nearest the staged batch's input statistic (analogous
+    # to the crop-mass guard's map-statistics fallback); alternatively
+    # prior_accel_mean (the held priors' training stat, recorded by
+    # train_vae.Trainer.motion_stats) enables a mismatch WARNING without
+    # switching.  Both default off — reference parity.
+    prior_bank: Any = None
+    prior_accel_mean: float | None = None
+    # warn when the batch/prior accel ratio exceeds this (either way)
+    mismatch_warn_ratio: float = 2.0
 
     def __post_init__(self):
         self._camera = resolve_camera(self.cfg)
@@ -80,8 +95,62 @@ class SequenceOptimizer:
             self.local_variables = fold_batchnorm(self.local_variables)
             self.global_variables = fold_batchnorm(self.global_variables)
             self.model = self.model.clone(use_bn=False)
+            if self.prior_bank is not None:
+                from globalegomocap_tpu.models.fold_bn import (
+                    fold_batchnorm as _fb)
+                from globalegomocap_tpu.optimize.prior_bank import (
+                    PriorBank, PriorEntry)
+                self.prior_bank = PriorBank([
+                    PriorEntry(e.name, _fb(e.local_variables),
+                               _fb(e.global_variables), e.accel_mean)
+                    for e in self.prior_bank.entries])
         self._jitted = {}
         self._jit_cache = {}
+        self._warned_mismatch = False
+        self.last_prior_name: str | None = None
+
+    def _accel_stat(self, est) -> float | None:
+        """Input-motion statistic of a staged est stack (C, F, 15, 3):
+        one tiny device reduction + scalar readback, measured only when
+        prior matching is configured."""
+        if self.prior_bank is None and self.prior_accel_mean is None:
+            return None
+        from globalegomocap_tpu.optimize.prior_bank import (
+            motion_accel_stat_jax)
+        key = "accel_stat"
+        if key not in self._jit_cache:
+            # measured at the prior's seq_len spectral resolution so the
+            # value is commensurable with the prior's training-window
+            # statistic (prior_bank.motion_accel_stat docstring)
+            win = self.cfg.prior.seq_len
+            self._jit_cache[key] = jax.jit(
+                lambda e: motion_accel_stat_jax(e, window=win))
+        return float(self._jit_cache[key](est))
+
+    def _select_priors(self, accel_mean: float | None):
+        """(local_vars, global_vars) for a batch statistic: bank
+        selection, or the held pair (with a one-time mismatch warning
+        when prior_accel_mean is recorded)."""
+        if accel_mean is None:
+            return self.local_variables, self.global_variables
+        if self.prior_bank is not None:
+            e = self.prior_bank.select(accel_mean)
+            self.last_prior_name = e.name
+            return e.local_variables, e.global_variables
+        if (self.prior_accel_mean and not self._warned_mismatch):
+            r = accel_mean / self.prior_accel_mean
+            if r > self.mismatch_warn_ratio or \
+                    r < 1.0 / self.mismatch_warn_ratio:
+                import warnings
+                warnings.warn(
+                    f"prior/input motion-regime mismatch: batch accel "
+                    f"{accel_mean:.2e} vs prior training accel "
+                    f"{self.prior_accel_mean:.2e} ({r:.1f}x) — the prior "
+                    f"was trained on a different motion regime; consider "
+                    f"a matched prior (optimize/prior_bank.py)",
+                    stacklevel=3)
+                self._warned_mismatch = True
+        return self.local_variables, self.global_variables
 
     def _crop_coverage(self, heatmaps) -> float | None:
         """Measure the crop-guard statistic: mean probability mass held by
@@ -155,11 +224,19 @@ class SequenceOptimizer:
         heat = jnp.asarray(chunk.heatmaps)
         if cfg is None:
             cfg = self._effective_cfg(chunk.heatmaps)
-        if cfg.heatmap_crop not in self._jitted:
-            self._jitted[cfg.heatmap_crop] = make_chunk_optimizer(
+        jkey = (cfg.heatmap_crop, cfg.crop_center)
+        if jkey not in self._jitted:
+            self._jitted[jkey] = make_chunk_optimizer(
                 self.model, cfg, self._camera)
-        return self._jitted[cfg.heatmap_crop](
-            self.local_variables, self.global_variables,
+        lv, gv = self.local_variables, self.global_variables
+        if self.prior_bank is not None or self.prior_accel_mean is not None:
+            from globalegomocap_tpu.optimize.prior_bank import (
+                motion_accel_stat)
+            lv, gv = self._select_priors(
+                motion_accel_stat(np.asarray(chunk.estimated_local),
+                                  window=self.cfg.prior.seq_len))
+        return self._jitted[jkey](
+            lv, gv,
             jnp.asarray(chunk.estimated_local),
             jnp.asarray(chunk.camera_poses),
             heat,
@@ -267,7 +344,8 @@ class SequenceOptimizer:
             if origins is not None:
                 origins, _ = pad_to_multiple(origins, n_dev)
         return StagedBatch(est, cams, heat, gt, n_chunks, cov,
-                           origins, full_hw)
+                           origins, full_hw,
+                           accel_mean=self._accel_stat(est))
 
     def _stage_arrays(self, chunks, heat_l, k: int,
                       center: str = "peak"):
@@ -410,11 +488,17 @@ class SequenceOptimizer:
             est, cams, gt, heat = map(padn, (est, cams, gt, heat))
             if origins is not None:
                 origins = padn(origins)
+        accel = None
+        if self.prior_bank is not None or self.prior_accel_mean is not None:
+            from globalegomocap_tpu.optimize.prior_bank import (
+                motion_accel_stat)
+            accel = motion_accel_stat(est,
+                                      window=self.cfg.prior.seq_len)
         put = jax.device_put
         return StagedBatch(put(est), put(cams), put(heat), put(gt),
                            n_chunks, cov,
                            None if origins is None else put(origins),
-                           full_hw)
+                           full_hw, accel_mean=accel)
 
     def _crop_coverage_list(self, heat_l) -> float | None:
         """Crop-guard coverage over per-chunk map arrays WITHOUT stacking
@@ -470,7 +554,7 @@ class SequenceOptimizer:
                                     or cfg.solver.batched_solver))
 
         key = ("batched", mode, est.shape, n_dev, cfg.heatmap_crop,
-               staged.full_hw)
+               cfg.crop_center, staged.full_hw)
         if key not in self._jit_cache:
             pipeline_fn = (optimize_chunks_flat if mode == "flat"
                            else optimize_chunks_batched)
@@ -506,8 +590,8 @@ class SequenceOptimizer:
                                        org_sh))
             else:
                 self._jit_cache[key] = jax.jit(run)
-        res = self._jit_cache[key](self.local_variables,
-                                   self.global_variables,
+        lv, gv = self._select_priors(staged.accel_mean)
+        res = self._jit_cache[key](lv, gv,
                                    est, cams, heat, gt, staged.origins)
         if res.estimated.shape[0] != n_chunks:
             res = jax.tree_util.tree_map(lambda x: x[:n_chunks], res)

@@ -121,9 +121,18 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     if use_reproj and cfg.heatmap_crop > 0 and origins is None:
         # shrink the solver's sampling working set to peak-centered crops
         # (ONCE per launch; the sampling gather dominates the eval cost)
-        from globalegomocap_tpu.energy.terms import crop_heatmaps
-        heatmaps, origins, full_hw = crop_heatmaps(heatmaps,
-                                                   cfg.heatmap_crop)
+        from globalegomocap_tpu.energy.terms import (
+            crop_heatmaps, crop_heatmaps_at_centers,
+            projected_estimate_centers)
+        if cfg.crop_center == "estimate":
+            cen = projected_estimate_centers(
+                init_pose, camera,
+                heatmaps.shape[-2], heatmaps.shape[-1])
+            heatmaps, origins, full_hw = crop_heatmaps_at_centers(
+                heatmaps, cfg.heatmap_crop, cen)
+        else:
+            heatmaps, origins, full_hw = crop_heatmaps(heatmaps,
+                                                       cfg.heatmap_crop)
 
     # latent init (one batched encode for all windows): the default is the
     # deterministic encoder mean; init='sample' reproduces the reference's
@@ -498,9 +507,20 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
         win_org = slice_windows(origins, seq_len, stride)  # (W,T,J,2)
     elif use_reproj and cfg.heatmap_crop > 0:
         from globalegomocap_tpu.energy.terms import (
-            crop_heatmaps_channels_last)
-        crops, origins, full_hw = crop_heatmaps_channels_last(
-            heatmap_seq, cfg.heatmap_crop)           # (N,k,k,J), (N,J,2)
+            crop_heatmaps_at_centers_channels_last,
+            crop_heatmaps_channels_last, projected_estimate_centers)
+        if cfg.crop_center == "estimate":
+            # guard-trip fast path (OptimizeConfig.guard_crop): center
+            # at the projected estimate, not the (untrustworthy) argmax
+            cen = projected_estimate_centers(
+                estimated_local, camera,
+                heatmap_seq.shape[-3], heatmap_seq.shape[-2])
+            crops, origins, full_hw = \
+                crop_heatmaps_at_centers_channels_last(
+                    heatmap_seq, cfg.heatmap_crop, cen)
+        else:
+            crops, origins, full_hw = crop_heatmaps_channels_last(
+                heatmap_seq, cfg.heatmap_crop)       # (N,k,k,J), (N,J,2)
         heatmap_seq = crops
         win_org = slice_windows(origins, seq_len, stride)  # (W,T,J,2)
     win_heat = slice_windows(heatmap_seq, seq_len, stride)
@@ -611,9 +631,18 @@ def optimize_chunks_flat(model: ConvVAE, local_variables,
     f_org = None
     if origins is None and use_reproj and cfg.heatmap_crop > 0:
         from globalegomocap_tpu.energy.terms import (
-            crop_heatmaps_channels_last)
-        heatmap_seq, origins, full_hw = crop_heatmaps_channels_last(
-            heatmap_seq, cfg.heatmap_crop)      # (C,N,k,k,J), (C,N,J,2)
+            crop_heatmaps_at_centers_channels_last,
+            crop_heatmaps_channels_last, projected_estimate_centers)
+        if cfg.crop_center == "estimate":
+            cen = projected_estimate_centers(
+                estimated_local, camera,
+                heatmap_seq.shape[-3], heatmap_seq.shape[-2])
+            heatmap_seq, origins, full_hw = \
+                crop_heatmaps_at_centers_channels_last(
+                    heatmap_seq, cfg.heatmap_crop, cen)
+        else:
+            heatmap_seq, origins, full_hw = crop_heatmaps_channels_last(
+                heatmap_seq, cfg.heatmap_crop)  # (C,N,k,k,J), (C,N,J,2)
     if origins is not None:
         heatmap_seq = _unflatten_staged_crops(heatmap_seq, origins, cfg)
         win_org = windows_of(origins)           # (C,W,T,J,2)

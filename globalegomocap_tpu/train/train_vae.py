@@ -17,6 +17,7 @@ every shard through the merged updates).
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from typing import Any
@@ -189,6 +190,21 @@ class Trainer:
 
         self.history: list[dict] = []
 
+        # prior-regime statistic (optimize/prior_bank.py, VERDICT r3 #7):
+        # the training windows' mean per-frame acceleration magnitude,
+        # recorded in checkpoint metadata so deployment can detect a
+        # prior/input motion-regime mismatch (SequenceOptimizer.
+        # prior_accel_mean) or auto-select from a PriorBank without
+        # re-reading the training corpus.  None for streaming datasets
+        # (HDF5WindowStream) that don't expose materialized windows.
+        self.motion_stats = None
+        if hasattr(train_ds, "windows"):
+            from globalegomocap_tpu.optimize.prior_bank import (
+                windows_accel_stat)
+            stat = windows_accel_stat(train_ds.windows)
+            if math.isfinite(stat):    # empty/degenerate window sets
+                self.motion_stats = {"accel_mean": stat}
+
     @property
     def variables(self):
         return {"params": self.state.params,
@@ -349,6 +365,8 @@ class Trainer:
                          for k in self.cfg.__dataclass_fields__
                          if isinstance(getattr(self.cfg, k),
                                        (int, float, str, bool))}}
+        if self.motion_stats:
+            meta["motion_stats"] = self.motion_stats
         with open(os.path.join(directory, f"{epoch}.json"), "w") as f:
             json.dump(meta, f)
         return path

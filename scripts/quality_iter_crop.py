@@ -57,9 +57,19 @@ def main():
     else:
         seqs = synthetic_amass(n_sequences=10, frames_per_seq=250, seed=5)
 
-    def train(local_pose):
+    def _regime_seqs(rg):
+        if rg == "v2":
+            return synthetic_amass(n_sequences=10, frames_per_seq=250,
+                                   seed=5, motion_scale=0.10,
+                                   freq_range=(0.5, 2.5))
+        return synthetic_amass(n_sequences=10, frames_per_seq=250, seed=5)
+
+    def train(local_pose, rg=None, rg_seqs=None):
+        rg = rg or regime
+        rg_seqs = seqs if rg_seqs is None and rg == regime else \
+            (rg_seqs if rg_seqs is not None else _regime_seqs(rg))
         name = "local" if local_pose else "global"
-        suffix = "" if regime == "v1" else f"_{regime}"
+        suffix = "" if rg == "v1" else f"_{rg}"
         path = os.path.join(cache, f"{name}_{epochs}{suffix}.msgpack")
         shape_ref = ConvVAE(latent_dim=2048, seq_len=10)
         if os.path.exists(path):
@@ -71,7 +81,7 @@ def main():
                           learning_rate=1e-3, lr_schedule="cosine",
                           lr_final=3e-5, logvar_init_bias=-6.0,
                           log_step=0)
-        ds = AmassWindows.from_sequences(seqs, frame_num=10,
+        ds = AmassWindows.from_sequences(rg_seqs, frame_num=10,
                                          local_pose=local_pose)
         tr = Trainer(cfg, ds, AmassWindows(ds.windows[::17]), shape_ref)
         t0 = time.time()
@@ -94,6 +104,12 @@ def main():
     if corpus == "v2":
         from globalegomocap_tpu.data.synthetic import synthetic_chunk_v2
         mk = synthetic_chunk_v2
+    elif corpus == "v3":
+        # discontinuous contacts + occlusion DROPOUT (joints vanishing)
+        # + jitter-only cameras — the fast-tier de-risk corpus
+        # (VERDICT r3 #6)
+        from globalegomocap_tpu.data.synthetic import synthetic_chunk_v3
+        mk = synthetic_chunk_v3
     elif corpus == "v2j":
         # jitter-only cameras: the error class the optimizer CAN fix
         # (drift is unobservable without loop closure and dominates v2's
@@ -139,10 +155,12 @@ def main():
 
     def measure(label, max_iter, crop, history=10,
                 candidates=(1.0, 0.5, 0.1, 0.02), fused_energy=False,
-                residual=False, s1_residual=False, s2_iter=None):
+                residual=False, s1_residual=False, s2_iter=None,
+                guard_crop=0, bank=None, lv=None, gv=None):
         from globalegomocap_tpu.config import EnergyConfig
         rscale = float(os.environ.get("QIC_REPROJ_SCALE", "1.0"))
         cfg = OptimizeConfig(
+            guard_crop=guard_crop,
             prior=PriorConfig(latent_dim=2048, seq_len=10),
             energy=EnergyConfig(global_weight_3d=g3d,
                                 global_residual=residual,
@@ -160,8 +178,10 @@ def main():
             compute_dtype=os.environ.get("QIC_COMPUTE_DTYPE", "float32"),
             heatmap_dtype=os.environ.get("QIC_HEAT_DTYPE", "float32"),
             heatmap_crop=crop)
-        opt = SequenceOptimizer(build_model(cfg), local_vars,
-                                global_vars, cfg)
+        opt = SequenceOptimizer(build_model(cfg),
+                                local_vars if lv is None else lv,
+                                global_vars if gv is None else gv,
+                                cfg, prior_bank=bank)
         staged = opt.stage(chunks)
         res = opt.optimize_chunks_batched(staged, mode="flat")  # compile
         jax.block_until_ready(res.optimized)
@@ -185,7 +205,16 @@ def main():
                "crop_coverage": (None if staged.crop_coverage is None
                                  else round(float(staged.crop_coverage),
                                             4)),
-               "crop_active": staged.origins is not None}
+               "crop_active": staged.origins is not None,
+               # the crop size actually staged (the guard may swap the
+               # fast-tier crop for guard_crop or full maps)
+               "staged_k": (None if staged.origins is None else
+                            int(round((staged.heat.shape[-1] / 15)
+                                      ** 0.5)))}
+        if bank is not None:
+            rec["selected_prior"] = opt.last_prior_name
+            rec["batch_accel"] = (None if staged.accel_mean is None
+                                  else round(staged.accel_mean, 6))
         for k in metric_keys:
             rec[k] = round(float(np.mean([e[k] for e in per_chunk])), 5)
         rec["tripwires_pass"] = bool(
@@ -247,6 +276,53 @@ def main():
                     residual=True, s2_iter=3)
         del os.environ["QIC_HEAT_DTYPE"]
         del os.environ["QIC_COMPUTE_DTYPE"]
+        return
+    if only == "bank":
+        # prior-regime auto-selection (optimize/prior_bank.py, VERDICT
+        # r3 #7): a bank holding the v1- and v2-regime trained prior
+        # pairs, each tagged with its training-motion statistic.  Run
+        # with QIC_CORPUS=v2: the staged batches' statistic must select
+        # the v2 prior, and the metrics must reproduce the hand-matched
+        # `_pv2` runs (same variables -> same program); the v1 corpus
+        # must keep selecting the v1 prior.  Arms: hand-picked v1 prior
+        # (the mismatch price), hand-picked matched prior (the target),
+        # bank auto-selection (must equal the matched arm).
+        from globalegomocap_tpu.optimize.prior_bank import (
+            PriorBank, windows_accel_stat)
+        lv1, gv1 = train(True, rg="v1"), train(False, rg="v1")
+        lv2, gv2 = train(True, rg="v2"), train(False, rg="v2")
+        a_v1 = windows_accel_stat(AmassWindows.from_sequences(
+            _regime_seqs("v1"), frame_num=10, local_pose=True).windows)
+        a_v2 = windows_accel_stat(AmassWindows.from_sequences(
+            _regime_seqs("v2"), frame_num=10, local_pose=True).windows)
+        bank = (PriorBank().add("prior_v1", lv1, gv1, a_v1)
+                .add("prior_v2", lv2, gv2, a_v2))
+        print(f"bank stats: v1={a_v1:.6f} v2={a_v2:.6f}", flush=True)
+        measure("bank_handpicked_v1", 12, 8, history=3,
+                candidates=(1.0, 0.1), fused_energy=True, residual=True,
+                s2_iter=3, lv=lv1, gv=gv1)
+        measure("bank_handpicked_matched", 12, 8, history=3,
+                candidates=(1.0, 0.1), fused_energy=True, residual=True,
+                s2_iter=3,
+                lv=(lv2 if corpus.startswith("v2") else lv1),
+                gv=(gv2 if corpus.startswith("v2") else gv1))
+        measure("bank_auto", 12, 8, history=3, candidates=(1.0, 0.1),
+                fused_energy=True, residual=True, s2_iter=3, bank=bank)
+        return
+    if only == "gcrop":
+        # guard-trip fast path (OptimizeConfig.guard_crop): on a corpus
+        # whose maps trip the crop-mass guard, compare the full-map XLA
+        # fallback (the current robust tier — its speed was never
+        # recorded, VERDICT r3 #4) against estimate-centered crops that
+        # keep the fused-kernel path.  Run with QIC_CORPUS=v2 (and the
+        # matched prior via QIC_PRIOR_REGIME=v2 for absolute numbers).
+        # The guard's robust solver tier (iter>=15/m10/K4) engages
+        # identically in every arm — only the energy path differs.
+        for gc, lbl in ((0, "g0_fullmap"), (8, "g8"), (16, "g16"),
+                        (24, "g24")):
+            measure(f"gcrop_{lbl}_fused_res_s2_3", 12, 8, history=3,
+                    candidates=(1.0, 0.1), fused_energy=True,
+                    residual=True, s2_iter=3, guard_crop=gc)
         return
     if only == "kcand":
         # line-search candidate count at the round-3 fast tier: K=2

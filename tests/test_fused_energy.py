@@ -72,6 +72,37 @@ def test_fused_energy_matches_xla(b):
                                rtol=2e-5, atol=1e-5)
 
 
+def test_fused_energy_matches_xla_guard_crop_k16():
+    """The guard-trip fast path (OptimizeConfig.guard_crop) runs k=16
+    estimate-centered crops through this same kernel (the window block
+    adapts to the k^2 VMEM cost): value must still match XLA."""
+    k, b = 16, 4
+    rng = np.random.default_rng(5)
+    pose = rng.normal(scale=0.3, size=(b, T, J, 3)) + np.array([0, 0, 1.5])
+    anchor = pose + rng.normal(scale=0.05, size=pose.shape)
+    crops = jnp.asarray(rng.uniform(size=(b, T, J, k, k)), jnp.float32)
+    origins = jnp.asarray(rng.integers(0, 48, size=(b, T, J, 2)),
+                          jnp.float32)
+    bone = jnp.asarray(rng.uniform(0.1, 0.5, size=(b, J)), jnp.float32)
+    pose = jnp.asarray(pose, jnp.float32)
+    anchor = jnp.asarray(anchor, jnp.float32)
+    pose_rt = jnp.moveaxis(pose.reshape(b, L, 3), -1, 1)[None]
+    anchor_t = jnp.moveaxis(anchor.reshape(b, L, 3), -1, 1)
+    crops_cm = jnp.swapaxes(crops.reshape(b, L, k * k), 1, 2)
+    ox = origins[..., 1].reshape(b, L)
+    oy = origins[..., 0].reshape(b, L)
+    bone_t = jnp.tile(bone, (1, T))
+    camera = fisheye.default_camera("egosyn")
+    w = EnergyWeights.create(weight_3d=0.01, smooth=0.001,
+                             bone_length=0.02, vae=0.003, reproj=0.01)
+    e_kernel = fused_stage_energy(pose_rt, anchor_t, crops_cm, ox, oy,
+                                  bone_t, _ctx(camera, w), T, J, k,
+                                  FULL_HW, 128.0, 512.0)
+    e_xla = _xla_energies(pose, anchor, crops, origins, bone, camera, w)
+    np.testing.assert_allclose(np.asarray(e_kernel[0]), np.asarray(e_xla),
+                               rtol=2e-5, atol=1e-5)
+
+
 def test_fused_energy_bf16_crops():
     """bf16 crop blocks (cfg.heatmap_dtype='bfloat16'): the kernel
     converts each crop block to f32 in-kernel — value and gradient must

@@ -156,6 +156,43 @@ def test_guard_crop_host_staging_matches_device():
     assert dev.full_hw == host.full_hw == (64, 64)
 
 
+def test_guard_crop_fused_pipeline_matches_xla_path():
+    """On a guard-tripped corpus with guard_crop, the mega-kernel path
+    (fused_energy) must reproduce the XLA crop path's solve (same staged
+    crops, same trajectory up to fp reassociation)."""
+    from globalegomocap_tpu.config import (
+        OptimizeConfig, PriorConfig, SolverConfig)
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.optimize.driver import (
+        SequenceOptimizer, build_model)
+
+    def cfg_for(fused):
+        return OptimizeConfig(
+            prior=PriorConfig(latent_dim=16, seq_len=10,
+                              hidden_dims=(8, 8, 16, 16, 32)),
+            solver=SolverConfig(method="lbfgs_fixed", max_iter=3,
+                                history_size=2, fused_probes=True,
+                                fused_energy=fused),
+            heatmap_crop=8, guard_crop=16,
+            robust_tier_on_guard=False)  # keep the tiny budget for speed
+
+    model = build_model(cfg_for(True))
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    chunks = [_bimodal(synthetic_chunk(n_frames=26, seed=91))]
+
+    outs = {}
+    for fused in (True, False):
+        opt = SequenceOptimizer(model, v, v, cfg_for(fused))
+        staged = opt.stage(chunks)
+        assert staged.origins is not None          # fast path staged
+        assert staged.heat.shape[-1] == 16 * 16 * 15
+        outs[fused] = np.asarray(
+            opt.optimize_chunks_batched(staged, mode="flat").optimized)
+    assert np.isfinite(outs[True]).all()
+    np.testing.assert_allclose(outs[True], outs[False],
+                               rtol=1e-3, atol=2e-4)
+
+
 def test_guard_crop_zero_keeps_full_map_fallback():
     """guard_crop=0 (the default) preserves the reference-parity
     full-map fallback exactly."""

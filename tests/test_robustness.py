@@ -105,6 +105,61 @@ def test_corpus_v2_contract_and_noise_structure():
     assert (peak2 < 0.5 * peak1.min()).mean() > 0.05
 
 
+def test_corpus_v3_contract_contacts_and_dropout():
+    """The third evaluation regime (VERDICT r3 #6): discontinuous-contact
+    motion and occlusion DROPOUT.  Contract-identical to v1; the motion
+    must carry velocity discontinuities the smooth corpora lack, and the
+    dropped maps must have NO mode at all (uniform floor), pulling the
+    crop-mass coverage into guard-trip range."""
+    import numpy as np
+    from globalegomocap_tpu.data.synthetic import (
+        synthetic_chunk, synthetic_chunk_v3)
+    from globalegomocap_tpu.energy.terms import crop_mass_coverage
+
+    v1 = synthetic_chunk(60, seed=4)
+    v3 = synthetic_chunk_v3(60, seed=4)
+    for a, b in zip(v1, v3):
+        assert np.asarray(a).shape == np.asarray(b).shape
+        assert np.isfinite(np.asarray(b)).all()
+
+    # contacts: acceleration spikes well beyond the smooth corpus's
+    def max_accel(c):
+        p = c.gt_global
+        return float(np.abs(np.diff(p, n=2, axis=0)).max())
+
+    assert max_accel(v3) > 2.0 * max_accel(v1)
+
+    # dropout: some (frame, joint) maps are a uniform floor (max == min)
+    maps = np.asarray(v3.heatmaps)                      # (N, H, W, J)
+    spread = maps.max(axis=(1, 2)) - maps.min(axis=(1, 2))   # (N, J)
+    frac_dropped = float((spread < 1e-6).mean())
+    assert 0.05 < frac_dropped < 0.6
+
+    # ... in contiguous runs (a dropped cell's neighbour is usually
+    # dropped too), not iid speckle
+    d = spread < 1e-6
+    both = (d[1:] & d[:-1]).sum()
+    assert both > 0.5 * d[1:].sum()
+
+    # the dropout floor pulls the guard statistic into trip range
+    cov = crop_mass_coverage(
+        np.moveaxis(maps, -1, 1).reshape(-1, 64, 64), 8)
+    assert cov.mean() < 0.90
+
+
+def test_v3_solve_stays_finite_and_guard_trips(opt):
+    """The production config solves a v3 chunk end-to-end, and the guard
+    sees the dropout (robust tier engages)."""
+    import numpy as np
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk_v3
+    chunk = synthetic_chunk_v3(18, seed=9)
+    eff = opt._effective_cfg(chunk.heatmaps)
+    assert eff.solver.max_iter >= 15          # guard tripped -> robust
+    res = opt.run(chunk, with_metrics=True)
+    errors = res[0]
+    assert np.isfinite(float(errors["optimized_global_mpjpe"]))
+
+
 def test_degraded_v2_solve_stays_finite(opt):
     """The production config solves a v2 chunk end-to-end."""
     import numpy as np
