@@ -62,6 +62,17 @@ def main(argv=None):
                    help="staged heat-crop storage dtype (kernel math "
                         "stays f32); bfloat16 measured +2.5% "
                         "(heat_dtype_ab.json)")
+    p.add_argument("--guard_crop", default=16, type=int,
+                   help="guard-trip fast path: k x k crops centered at "
+                        "the projected initial estimate when the "
+                        "crop-mass guard trips; 16 is quality-neutral "
+                        "vs the full-map fallback on the matched-prior "
+                        "v2 corpus (bone +0.4%%, raw +0.2%% — "
+                        "quality_iter_crop_gcrop_v2_pv2.json) at +27%% "
+                        "synced / +33%% pipelined (robust_tier_ab."
+                        "json); 8 doubles the speed at +1.3%% bone; "
+                        "0 = full-map fallback (reference parity, "
+                        "cli/optimize_sequence default)")
     p.add_argument("--stage_on_host", default=True, type=str2bool,
                    help="crop heatmaps in numpy BEFORE the host->device "
                         "transfer (serve ingests host-resident pkl "

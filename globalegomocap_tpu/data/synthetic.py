@@ -293,20 +293,26 @@ def synthetic_chunk(n_frames: int = 100, seed: int = 0,
 def synthetic_amass(n_sequences: int = 12, frames_per_seq: int = 300,
                     frame_rate: int = 25, seed: int = 0,
                     motion_scale: float = 0.08,
-                    freq_range: tuple = (0.3, 1.2)) -> list[dict]:
+                    freq_range: tuple = (0.3, 1.2),
+                    motion_fn=None) -> list[dict]:
     """Synthetic AMASS-style training pkls: dicts with `local_pose_list`
     (N, 15, 3), `cam_list` ({'loc','rot'} per frame) and `frame_rate`
     (reference contract: networks/dataset/global_dataset.py:88-100).
     motion_scale/freq_range select the motion regime (v2 corpus: 0.10 /
     (0.5, 2.5) — a prior must be trained on statistics matching its
-    deployment, like the reference's real-AMASS prior for real motion)."""
+    deployment, like the reference's real-AMASS prior for real motion).
+    motion_fn: (n_frames, seed) -> (N, 15, 3) overrides the sinusoidal
+    generator entirely (the v3 contact corpus passes
+    synthetic_motion_contacts)."""
     from scipy.spatial.transform import Rotation
 
     out = []
     for s in range(n_sequences):
-        local = synthetic_motion(frames_per_seq, seed + 10 * s,
-                                 motion_scale=motion_scale,
-                                 freq_range=freq_range)
+        local = (motion_fn(frames_per_seq, seed + 10 * s)
+                 if motion_fn is not None else
+                 synthetic_motion(frames_per_seq, seed + 10 * s,
+                                  motion_scale=motion_scale,
+                                  freq_range=freq_range))
         cams = synthetic_camera_trajectory(frames_per_seq, seed + 10 * s)
         cam_list = []
         for i in range(frames_per_seq):

@@ -51,23 +51,24 @@ def main():
     # (jerky: scale 0.10, 0.5-2.5 Hz) — deployment-matched priors, the
     # reference's real-AMASS-for-real-motion setup; default v1
     regime = os.environ.get("QIC_PRIOR_REGIME", "v1")
-    if regime == "v2":
-        seqs = synthetic_amass(n_sequences=10, frames_per_seq=250, seed=5,
-                               motion_scale=0.10, freq_range=(0.5, 2.5))
-    else:
-        seqs = synthetic_amass(n_sequences=10, frames_per_seq=250, seed=5)
 
     def _regime_seqs(rg):
         if rg == "v2":
             return synthetic_amass(n_sequences=10, frames_per_seq=250,
                                    seed=5, motion_scale=0.10,
                                    freq_range=(0.5, 2.5))
+        if rg == "v3":
+            from globalegomocap_tpu.data.synthetic import (
+                synthetic_motion_contacts)
+            return synthetic_amass(n_sequences=10, frames_per_seq=250,
+                                   seed=5,
+                                   motion_fn=synthetic_motion_contacts)
         return synthetic_amass(n_sequences=10, frames_per_seq=250, seed=5)
 
     def train(local_pose, rg=None, rg_seqs=None):
         rg = rg or regime
-        rg_seqs = seqs if rg_seqs is None and rg == regime else \
-            (rg_seqs if rg_seqs is not None else _regime_seqs(rg))
+        if rg_seqs is None:
+            rg_seqs = _regime_seqs(rg)
         name = "local" if local_pose else "global"
         suffix = "" if rg == "v1" else f"_{rg}"
         path = os.path.join(cache, f"{name}_{epochs}{suffix}.msgpack")
@@ -323,6 +324,38 @@ def main():
             measure(f"gcrop_{lbl}_fused_res_s2_3", 12, 8, history=3,
                     candidates=(1.0, 0.1), fused_energy=True,
                     residual=True, s2_iter=3, guard_crop=gc)
+        return
+    if only == "v3":
+        # VERDICT r3 #6 — de-risk the fast tier on the THIRD regime
+        # (discontinuous contacts + occlusion dropout, QIC_CORPUS=v3):
+        # the production stack (iter12/m3 + crop8 + bf16 compute/heat +
+        # fused + residual s2=3) must either pass the strict gates or
+        # the crop-mass guard must catch the regime (dropout floors pull
+        # coverage down) and restore the robust tier; guard_crop=8 then
+        # keeps the fused kernel under that tier.  Run with
+        # QIC_PRIOR_REGIME=v3 for deployment-matched absolute numbers.
+        os.environ["QIC_COMPUTE_DTYPE"] = "bfloat16"
+        os.environ["QIC_HEAT_DTYPE"] = "bfloat16"
+        # the production fast tier exactly as bench/headline run it
+        # (guard may veto the staged crop and deepen the solve)
+        measure("v3_prod_i12_m3_s2_3_fused_res_bf16", 12, 8, history=3,
+                candidates=(1.0, 0.1), fused_energy=True, residual=True,
+                s2_iter=3)
+        # guard-trip fast path: estimate-centered crops keep the fused
+        # kernel when the guard rejects argmax-centered staging
+        measure("v3_gcrop8_i12_m3_s2_3_fused_res_bf16", 12, 8,
+                history=3, candidates=(1.0, 0.1), fused_energy=True,
+                residual=True, s2_iter=3, guard_crop=8)
+        # the robust tier explicitly (deep solve, full maps) — the
+        # quality ceiling this regime can reach
+        measure("v3_robust_i25_m10_K4_fullmap_res", 25, 0, history=10,
+                fused_energy=True, residual=True)
+        del os.environ["QIC_COMPUTE_DTYPE"]
+        del os.environ["QIC_HEAT_DTYPE"]
+        # f32 anchor at the fast tier (bf16 drift check on contacts)
+        measure("v3_prod_i12_m3_s2_3_fused_res_f32", 12, 8, history=3,
+                candidates=(1.0, 0.1), fused_energy=True, residual=True,
+                s2_iter=3)
         return
     if only == "kcand":
         # line-search candidate count at the round-3 fast tier: K=2
