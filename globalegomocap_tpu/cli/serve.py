@@ -73,6 +73,12 @@ def main(argv=None):
                         "json); 8 doubles the speed at +1.3%% bone; "
                         "0 = full-map fallback (reference parity, "
                         "cli/optimize_sequence default)")
+    p.add_argument("--prefetch_depth", default=2, type=int,
+                   help="stage up to this many ready sequences ahead on a "
+                        "worker thread while the device solves (overlaps "
+                        "the staging pass — serving_bench.json's "
+                        "submit-block cost — with the solve; 0 = stage "
+                        "inline on the submit path)")
     p.add_argument("--stage_on_host", default=True, type=str2bool,
                    help="crop heatmaps in numpy BEFORE the host->device "
                         "transfer (serve ingests host-resident pkl "
@@ -94,7 +100,8 @@ def main(argv=None):
     from globalegomocap_tpu.evaluation.metrics import calculate_errors
     from globalegomocap_tpu.optimize.driver import (
         SequenceOptimizer, build_model)
-    from globalegomocap_tpu.optimize.streaming import StreamingOptimizer
+    from globalegomocap_tpu.optimize.streaming import (
+        StagePrefetcher, StreamingOptimizer)
     from globalegomocap_tpu.optimize.window import num_windows
 
     cfg = OptimizeConfig(
@@ -177,12 +184,13 @@ def main(argv=None):
 
     while True:
         progressed = False  # did this pass submit or emit anything?
+        ready: list[tuple[str, list]] = []  # this pass's stageable batches
         seqs = sorted(d for d in os.listdir(args.data_root)
                       if os.path.isdir(os.path.join(args.data_root, d))
                       and d not in done)
         for name in seqs:
-            if args.max_batches and emitted + len(pending) >= \
-                    args.max_batches:
+            if args.max_batches and emitted + len(pending) + len(ready) \
+                    >= args.max_batches:
                 break
             chunk_dirs = list_chunk_dirs(
                 os.path.join(args.data_root, name))
@@ -218,14 +226,28 @@ def main(argv=None):
                 progressed = True
                 continue
             done.add(name)
-            t0 = time.perf_counter()
-            service.submit_batch(chunks)
-            pending.append((name, chunks, t0))
+            ready.append((name, chunks))
             progressed = True
-            # results complete in submission order; drain ready ones
-            while len(service._completed) > 0:
-                n, cs, ts = pending.pop(0)
-                emit(n, cs, ts, service._completed.pop(0))
+
+        # submit this pass's batches; with prefetch_depth > 0 a worker
+        # thread stages sequence t+1 while the device solves t (the
+        # staging pass leaves the submit critical path — StagePrefetcher)
+        if ready:
+            if args.prefetch_depth > 0:
+                staged_iter = StagePrefetcher(
+                    opt, (cs for _, cs in ready),
+                    depth=args.prefetch_depth,
+                    on_host=args.stage_on_host)
+            else:
+                staged_iter = (cs for _, cs in ready)  # stage inline
+            for (name, chunks), staged in zip(ready, staged_iter):
+                t0 = time.perf_counter()
+                service.submit_batch(staged)
+                pending.append((name, chunks, t0))
+                # results complete in submission order; drain ready ones
+                while len(service._completed) > 0:
+                    n, cs, ts = pending.pop(0)
+                    emit(n, cs, ts, service._completed.pop(0))
 
         if args.max_batches and emitted + len(pending) >= args.max_batches:
             break

@@ -140,6 +140,78 @@ class StreamingOptimizer:
         return self.drain()
 
 
+class StagePrefetcher:
+    """Overlap staging of batch t+1 with the solve of batch t.
+
+    serving_bench measured submit_block_ms_p50 = 28 ms at the production
+    point: `submit_batch` stages on the CALLER thread, so every
+    submission pays the staging pass (host crops / device crop-program
+    dispatch + transfer) on the critical path even though the device is
+    busy solving earlier batches.  This wraps a raw-batch source in a
+    single worker thread that keeps up to `depth` staged batches ready;
+    the consumer's submit then only dispatches the solve.
+
+    The worker owns the crop-guard readback too ('first' policy: the
+    coverage measurement's blocking readback happens off the critical
+    path, once).  Iteration yields StagedBatch objects in source order;
+    worker exceptions re-raise on the consumer thread at the point of
+    consumption.  Bounded queue => bounded staged-batch HBM, mirroring
+    StreamingOptimizer's bounded in-flight depth.
+
+    Usage:
+        for staged in StagePrefetcher(opt, batches, depth=2):
+            service.submit_batch(staged)
+    """
+
+    _DONE = object()
+
+    def __init__(self, optimizer: SequenceOptimizer, source,
+                 depth: int = 2, on_host: bool = False,
+                 guard: str = "first"):
+        import queue
+        import threading
+        if guard not in ("first", "every", "off"):
+            raise ValueError(f"unknown guard policy {guard!r}")
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        self.optimizer = optimizer
+        self.on_host = on_host
+        self.guard = guard
+        self._coverage: float | None = (1.0 if guard == "off" else None)
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err: BaseException | None = None
+        self._thread = threading.Thread(
+            target=self._run, args=(iter(source),), daemon=True)
+        self._thread.start()
+
+    def _run(self, it) -> None:
+        try:
+            for batch in it:
+                from globalegomocap_tpu.optimize.driver import StagedBatch
+                if isinstance(batch, StagedBatch):
+                    staged = batch
+                else:
+                    staged = self.optimizer.stage(
+                        batch, coverage=self._coverage,
+                        on_host=self.on_host)
+                    if self.guard == "first" and self._coverage is None:
+                        self._coverage = staged.crop_coverage
+                self._q.put(staged)
+        except BaseException as e:          # surface on consumer thread
+            self._err = e
+        finally:
+            self._q.put(self._DONE)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+
 class MultiStreamOptimizer:
     """Serve MANY concurrent sequences over one compiled program.
 

@@ -357,6 +357,22 @@ def main():
                 candidates=(1.0, 0.1), fused_energy=True, residual=True,
                 s2_iter=3)
         return
+    if only == "m2":
+        # dispatch_floor_ab.json measured history m2 +6.6% synced over
+        # the m3 production tier (the L-BFGS bookkeeping share grew when
+        # bf16 halved the eval math) — SPEED ONLY until this gate: m2
+        # must match m3 on both metric families at the full production
+        # stack (run on v1 AND camnoise; degraded-map corpora restore
+        # the robust tier anyway)
+        os.environ["QIC_COMPUTE_DTYPE"] = "bfloat16"
+        os.environ["QIC_HEAT_DTYPE"] = "bfloat16"
+        for m in (3, 2):
+            measure(f"m{m}_i12_s2_3_fused_res_bf16", 12, 8, history=m,
+                    candidates=(1.0, 0.1), fused_energy=True,
+                    residual=True, s2_iter=3)
+        del os.environ["QIC_COMPUTE_DTYPE"]
+        del os.environ["QIC_HEAT_DTYPE"]
+        return
     if only == "kcand":
         # line-search candidate count at the round-3 fast tier: K=2
         # (1.0, 0.1) beat K=4 in round 2; K=1 halves the probe batch the

@@ -33,7 +33,8 @@ def main():
     from globalegomocap_tpu.data.test_data import TestChunk
     from globalegomocap_tpu.optimize.driver import (
         SequenceOptimizer, build_model)
-    from globalegomocap_tpu.optimize.streaming import StreamingOptimizer
+    from globalegomocap_tpu.optimize.streaming import (
+        StagePrefetcher, StreamingOptimizer)
     from globalegomocap_tpu.optimize.window import num_windows
 
     # 6 x 40-chunk batches ~= 5.9 GB of device-resident raw maps (16 GB
@@ -145,6 +146,28 @@ def main():
         f"in-flight depth exceeded: {max(bp_inflight)} > {depth}"
     bp_sorted = sorted(bp_submit_ms)
 
+    # ---- phase 3: prefetched stream (stage t+1 overlaps solve t) --------
+    # StagePrefetcher moves the staging pass (the 28 ms submit-block of
+    # phase 1) onto a worker thread, so the producer's submit only
+    # dispatches the solve.
+    pf = StreamingOptimizer(opt, max_in_flight=depth)
+    pf_submit_ms = []
+    pf_lat = []
+    pf_submit_t = {}
+    t_pf = time.perf_counter()
+    src = (batches[b % n_batches] for b in range(n_subs))
+    for b, staged in enumerate(StagePrefetcher(opt, src, depth=2)):
+        pf_submit_t[b] = time.perf_counter()
+        pf.submit_batch(staged)
+        pf_submit_ms.append(1e3 * (time.perf_counter() - pf_submit_t[b]))
+        while len(pf._completed) > len(pf_lat):
+            pf_lat.append(time.perf_counter() - pf_submit_t[len(pf_lat)])
+    pf.drain()
+    pf_total = time.perf_counter() - t_pf
+    while len(pf_lat) < n_subs:
+        pf_lat.append(pf_total - (pf_submit_t[len(pf_lat)] - t_pf))
+    pf_lat_ms = sorted(1e3 * x for x in pf_lat)
+
     out = {
         "batches": n_batches,
         "rounds": n_rounds,
@@ -161,6 +184,15 @@ def main():
         "batch_latency_ms_p99": pct(lat_ms, 0.99),
         "batch_latency_ms_max": round(lat_ms[-1], 1),
         "submit_block_ms_p50": pct(sorted(submit_block_ms), 0.50),
+        "prefetched": {
+            "windows_per_sec": round(n_subs * wins_per_batch / pf_total, 1),
+            "batch_latency_ms_p50": pct(pf_lat_ms, 0.50),
+            "batch_latency_ms_p95": pct(pf_lat_ms, 0.95),
+            "batch_latency_ms_p99": pct(pf_lat_ms, 0.99),
+            "submit_block_ms_p50": pct(sorted(pf_submit_ms), 0.50),
+            "note": "StagePrefetcher stages batch t+1 on a worker thread "
+                    "while the device solves batch t (prefetch depth 2)",
+        },
         "backpressure": {
             "windows_per_sec": round(n_subs * wins_per_batch / bp_total, 1),
             "max_in_flight_observed": max(bp_inflight),

@@ -189,3 +189,52 @@ def test_streaming_backpressure_bounds_in_flight_and_memory():
     out = service.drain()
     assert len(out) == n_subs
     assert all(np.isfinite(np.asarray(r.optimized)).all() for r in out)
+
+
+def test_stage_prefetcher_matches_inline_staging():
+    """StagePrefetcher (worker-thread staging of batch t+1 during the
+    solve of batch t) must yield batches in source order whose solve
+    results are identical to inline staging, resolve the crop guard once
+    ('first' policy, off the submit critical path), pass pre-staged
+    batches through untouched, and surface worker exceptions on the
+    consumer thread."""
+    from globalegomocap_tpu.optimize.streaming import StagePrefetcher
+
+    cfg = OptimizeConfig(
+        prior=PriorConfig(latent_dim=16, seq_len=10,
+                          hidden_dims=(8, 8, 16, 16, 32)),
+        solver=SolverConfig(method="lbfgs_fixed", max_iter=2,
+                            history_size=2))
+    model = build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    opt = SequenceOptimizer(model, v, v, cfg)
+    batches = [[synthetic_chunk(26, seed=10 * b + i) for i in range(2)]
+               for b in range(3)]
+
+    service = StreamingOptimizer(opt, max_in_flight=2)
+    for staged in StagePrefetcher(opt, batches, depth=2):
+        service.submit_batch(staged)
+    out = service.drain()
+    assert len(out) == 3
+    for batch, res in zip(batches, out):
+        direct = opt.optimize_chunks_batched(opt.stage(batch), mode="flat")
+        np.testing.assert_array_equal(np.asarray(res.optimized),
+                                      np.asarray(direct.optimized))
+
+    # pre-staged batches pass through as-is (same object)
+    pre = opt.stage(batches[0])
+    got = list(StagePrefetcher(opt, [pre], depth=1))
+    assert got[0] is pre
+
+    # a worker exception re-raises at the point of consumption
+    def bad_source():
+        yield batches[0]
+        raise RuntimeError("producer failed")
+
+    it = iter(StagePrefetcher(opt, bad_source(), depth=1))
+    next(it)
+    try:
+        next(it)
+        raise AssertionError("expected the producer error to re-raise")
+    except RuntimeError as e:
+        assert "producer failed" in str(e)
