@@ -52,10 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="dense/shift decoder weight storage dtype")
     p.add_argument("--compute_dtype", default="float32",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "bfloat16_f32enc",
+                            "bfloat16_pure"],
                    help="whole-prior activation dtype in the solve "
-                        "(params stay f32): bfloat16 measured +24% at "
-                        "the 320-chunk point, c320_dtype_rematch_ab.json")
+                        "(params stay f32): bfloat16 = the quality-gated "
+                        "MIXED tier (f32 encode + f32 output decode); "
+                        "bfloat16_f32enc keeps only the encode f32; "
+                        "bfloat16_pure runs everything bf16 (speed "
+                        "reference, +0.001 bone cost)")
     p.add_argument("--overlap_consistency", default=0.0, type=float,
                    help="cross-window coupling weight (joint "
                         "whole-sequence solve when > 0)")

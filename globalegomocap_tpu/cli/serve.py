@@ -53,10 +53,12 @@ def main(argv=None):
     # in-kernel, +2.5%, heat_dtype_ab.json) — both quality-gated per
     # corpus (quality_iter_crop_bf16*/heat16.json).
     p.add_argument("--compute_dtype", default="bfloat16",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "bfloat16_f32enc",
+                            "bfloat16_pure"],
                    help="whole-prior activation dtype in the solve "
                         "(params stay f32); bfloat16 measured +24% "
-                        "(c320_dtype_rematch_ab.json)")
+                        "(c320_dtype_rematch_ab.json); _f32enc/_pure "
+                        "are the narrower mixed-precision tiers")
     p.add_argument("--heatmap_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="staged heat-crop storage dtype (kernel math "

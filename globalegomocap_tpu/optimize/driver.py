@@ -32,7 +32,7 @@ def resolve_camera(cfg: OptimizeConfig) -> fisheye.FisheyeParams:
 
 def build_model(cfg: OptimizeConfig) -> ConvVAE:
     p = cfg.prior
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+    dtype = jnp.bfloat16 if cfg.compute_dtype.startswith("bfloat16") \
         else jnp.float32
     return ConvVAE(in_channels=p.in_channels, out_channels=p.in_channels,
                    latent_dim=p.latent_dim, seq_len=p.seq_len,

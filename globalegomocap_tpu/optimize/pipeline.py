@@ -144,8 +144,17 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     # measurably shifts where 12 L-BFGS iterations land (the all-bf16
     # arm's +0.001 bone-aligned cost persisted with an f32 OUTPUT decode
     # — quality_iter_crop_bf16*.json — so the drift enters at init).
+    # bf16 sub-tiers (cfg.compute_dtype) — "bfloat16" is the quality-gated
+    # production MIXED tier (f32 encode + f32 output decode/offset);
+    # "bfloat16_f32enc" keeps only the encode f32 (the quality evidence
+    # localized the bone drift to the bf16-encoded init mu, NOT the output
+    # decode — quality_iter_crop_bf16*.json); "bfloat16_pure" runs
+    # everything bf16 (the pre-mixed semantics, kept as a speed reference).
+    pure_bf16 = cfg.compute_dtype == "bfloat16_pure"
+    f32_output = cfg.compute_dtype == "bfloat16"
     f32_model = model
-    if getattr(model, "dtype", jnp.float32) != jnp.float32:
+    if not pure_bf16 and getattr(model, "dtype",
+                                 jnp.float32) != jnp.float32:
         f32_model = model.clone(dtype=jnp.float32)
     mu, log_var = f32_model.apply(variables, flat, False,
                                   method=ConvVAE.encode)
@@ -194,7 +203,7 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     # pose scale ~1) in the output decode, while raw-global IMPROVED
     # (quality_iter_crop_bf16*.json); two extra f32 decodes per stage
     # are launch noise.
-    if f32_model is not model:
+    if f32_output and f32_model is not model:
         decode_out = _make_decode_batch(f32_model, jnp.float32)
     else:
         decode_out = decode_batch
