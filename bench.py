@@ -75,13 +75,14 @@ CIRCULAR_HISTORY = os.environ.get("BENCH_CIRCULAR_HISTORY", "0") == "1"
 # quality-verified with trained priors (quality_iter_crop_fused.json:
 # all tripwires + stage-2 gates pass, raw-global 0.03287 vs 0.0335 XLA)
 FUSED_ENERGY = os.environ.get("BENCH_FUSED_ENERGY", "1") == "1"
-# L-BFGS history size: m=3 at iter12 is the round-3 fast tier — BOTH
-# bone-aligned (0.02104 vs 0.02111) and raw-global (0.03085 vs 0.03172)
-# beat iter15/m5 on the clean corpus with trained priors
-# (quality_iter_crop_s1iter.json); the crop-mass guard restores the
-# robust tier (iter>=15, m>=10, K4) on degraded corpora where deeper
-# search wins (quality_iter_crop_s1iter_v2.json)
-HISTORY = int(os.environ.get("BENCH_HISTORY", "3"))
+# L-BFGS history size: m=2 at iter12 is the round-4 fast tier — +6.6%
+# synced over m3 at the bf16 c320 point (dispatch_floor_ab.json) and
+# quality-gated on BOTH gate corpora (quality_iter_crop_m2.json: raw
+# 0.02995 vs 0.03023 m3, bone +0.0002; _camnoise: raw 0.0699 vs 0.06998,
+# strict stage-2 gates pass); the crop-mass guard restores the robust
+# tier (iter>=15, m>=10, K4) on degraded corpora where deeper search
+# wins (quality_iter_crop_s1iter_v2.json)
+HISTORY = int(os.environ.get("BENCH_HISTORY", "2"))
 # stage-1 solver iterations: the fewer-is-better trend (15 beat 25 in
 # round 2) continues to 12 on the clean corpus — and 12/m3 measures
 # 15077 vs 12163 w/s synced / 21783 vs 18088 pipelined

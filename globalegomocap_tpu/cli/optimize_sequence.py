@@ -84,6 +84,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated encoder channel widths")
     p.add_argument("--solver", default="lbfgs",
                    choices=["lbfgs", "lbfgs_fixed", "adam"])
+    p.add_argument("--max_iter", default=25, type=int,
+                   help="stage-1 L-BFGS iteration budget (reference "
+                        "parity 25; the measured fast tier runs 12 — "
+                        "quality_iter_crop_s1iter*.json; the crop-mass "
+                        "guard restores >=15 on degraded corpora)")
+    p.add_argument("--history_size", default=25, type=int,
+                   help="L-BFGS history m (parity 25; the fast tier "
+                        "runs 2 — quality_iter_crop_m2*.json; the guard "
+                        "restores >=10 on degraded corpora)")
+    p.add_argument("--step_candidates", default="1.0,0.5,0.1,0.02",
+                   type=str,
+                   help="lbfgs_fixed parallel line-search step fractions "
+                        "(comma-separated); the fast tier runs 1.0,0.1 "
+                        "(quality_iter_crop_kcand.json)")
     p.add_argument("--fused_probes", default=False, type=str2bool,
                    help="lbfgs_fixed: fold the accepted-point "
                         "value_and_grad into the candidate probe batch "
@@ -191,6 +205,11 @@ def main(argv=None):
                           hidden_dims=tuple(
                               int(x) for x in args.hidden_dims.split(","))),
         solver=SolverConfig(method=args.solver,
+                            max_iter=args.max_iter,
+                            history_size=args.history_size,
+                            step_candidates=tuple(
+                                float(x) for x in
+                                args.step_candidates.split(",")),
                             fused_probes=args.fused_probes,
                             circular_history=args.circular_history,
                             fused_energy=args.fused_energy,

@@ -91,6 +91,25 @@ def main(argv=None):
                    help="watch mode: scans to retry a sequence whose chunk "
                         "load raises (mid-upload arrivals) before giving "
                         "up with an error record")
+    # serve is the DEPLOYMENT surface: unlike cli/optimize_sequence
+    # (reference-parity defaults), it defaults to the FULL measured
+    # production solver stack, not just the dtypes — every knob below is
+    # speed-measured AND quality-gated on trained priors:
+    #   lbfgs_fixed + fused probes + fused mega-kernel + unroll 5
+    #     (fused_ab.json, unroll_chunks_ab.json)
+    #   iter12 / history m2 / K2 fast tier (quality_iter_crop_s1iter*,
+    #     quality_iter_crop_m2*, quality_iter_crop_kcand.json; the
+    #     crop-mass guard restores iter>=15/m>=10/K4 on degraded maps)
+    #   residual stage 2 at 3 iterations (stage2_residual.json,
+    #     quality_iter_crop_s2iter*.json)
+    #   crop8 staging + dense MXU sampling + folded BN + conv decoder
+    #     (decoder_rematch_ab.json)
+    p.set_defaults(solver="lbfgs_fixed", fused_probes=True,
+                   fused_energy=True, unroll=5,
+                   max_iter=12, history_size=2, step_candidates="1.0,0.1",
+                   global_residual=True, global_max_iter=3,
+                   heatmap_crop=8, sampling="dense", fold_bn=True,
+                   dense_decoder=True, decoder_impl="conv")
     args = p.parse_args(argv)
 
     import jax
@@ -121,6 +140,11 @@ def main(argv=None):
                           hidden_dims=tuple(
                               int(x) for x in args.hidden_dims.split(","))),
         solver=SolverConfig(method=args.solver,
+                            max_iter=args.max_iter,
+                            history_size=args.history_size,
+                            step_candidates=tuple(
+                                float(x) for x in
+                                args.step_candidates.split(",")),
                             fused_probes=args.fused_probes,
                             circular_history=args.circular_history,
                             fused_energy=args.fused_energy,

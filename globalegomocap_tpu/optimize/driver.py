@@ -571,15 +571,14 @@ class SequenceOptimizer:
                 # Chunks are data-independent, so the whole pipeline runs
                 # per-shard under shard_map (no collectives): each device
                 # solves its chunk slice with the fused kernel locally.
-                from jax.experimental.shard_map import shard_map
                 from jax.sharding import PartitionSpec as P
                 mesh = make_mesh()
                 org_spec = P("dp") if staged.origins is not None else P()
-                self._jit_cache[key] = jax.jit(shard_map(
+                self._jit_cache[key] = jax.jit(jax.shard_map(
                     run, mesh=mesh,
                     in_specs=(P(), P(), P("dp"), P("dp"), P("dp"),
                               P("dp"), org_spec),
-                    out_specs=P("dp"), check_rep=False))
+                    out_specs=P("dp"), check_vma=False))
             elif n_dev > 1:
                 mesh = make_mesh()
                 repl = replicate(mesh)

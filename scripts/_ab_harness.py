@@ -33,21 +33,27 @@ import numpy as np
 
 
 def production_base(**overrides):
-    """The round-3 production OptimizeConfig (bench.py defaults): latent
+    """The CURRENT production OptimizeConfig (bench.py defaults): latent
     2048, conv decoder, fold_bn, crop8, dense sampling, fused kernels,
-    residual stage 2 with a 3-iteration budget, iter12/m3 fast tier,
-    unroll 5.  Keyword overrides are applied to the top-level config;
-    pass solver=/energy= replacements for nested changes."""
+    residual stage 2 with a 3-iteration budget, iter12/m2 fast tier
+    (m2 since round 4: dispatch_floor_ab.json +6.6%, gated by
+    quality_iter_crop_m2*.json), unroll 5.  Keyword overrides that name
+    SolverConfig fields are applied to the nested solver (scripts whose
+    committed artifacts predate a default change pin the old value this
+    way, e.g. history_size=3); other keywords apply to the top-level
+    config; pass solver=/energy= replacements for anything else."""
     from dataclasses import replace
 
     from globalegomocap_tpu.config import (
         EnergyConfig, OptimizeConfig, PriorConfig, SolverConfig)
 
+    solver_over = {k: overrides.pop(k) for k in list(overrides)
+                   if k in SolverConfig.__dataclass_fields__}
     base = OptimizeConfig(
         prior=PriorConfig(latent_dim=2048, seq_len=10),
         energy=EnergyConfig(global_weight_3d=1.0, global_residual=True),
         solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
-                            history_size=3, max_iter=12,
+                            history_size=2, max_iter=12,
                             global_max_iter=3,
                             step_candidates=(1.0, 0.1),
                             fused_energy=True, unroll=5),
@@ -59,6 +65,8 @@ def production_base(**overrides):
         # since round 4 (heat_dtype_ab.json + quality_iter_crop_heat16)
         heatmap_dtype="bfloat16",
         fold_bn=True, dense_decoder=True, decoder_impl="conv")
+    if solver_over:
+        base = replace(base, solver=replace(base.solver, **solver_over))
     return replace(base, **overrides) if overrides else base
 
 

@@ -36,7 +36,7 @@ def main():
 
     n = int(os.environ.get("AB_CHUNKS", "320"))
     wins = num_windows(100) * n
-    base = production_base()
+    base = production_base(history_size=3)  # artifact predates the m2 tier
     model, v1, v2 = build_prior_pair(base)
     pool = make_pool(n, unique=16)
 

@@ -36,7 +36,7 @@ def main():
     from globalegomocap_tpu.optimize.window import num_windows
 
     uniq = int(os.environ.get("AB_POOL_UNIQUE", "16"))
-    base = production_base()           # unroll=5, history=3
+    base = production_base(history_size=3)  # the artifact's base tier
     model, v1, v2 = build_prior_pair(base)
     c = int(os.environ.get("AB_CHUNKS", "320"))
     pool = make_pool(c, unique=uniq)

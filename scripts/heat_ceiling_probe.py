@@ -25,7 +25,7 @@ def main():
     from globalegomocap_tpu.optimize.window import num_windows
 
     uniq = int(os.environ.get("AB_POOL_UNIQUE", "16"))
-    base = production_base(heatmap_dtype="bfloat16")
+    base = production_base(heatmap_dtype="bfloat16", history_size=3)
     model, v1, v2 = build_prior_pair(base)
 
     out = {"pool_unique": uniq, "results": {}}

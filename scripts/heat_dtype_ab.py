@@ -38,7 +38,7 @@ def main():
 
     n_chunks = int(os.environ.get("AB_CHUNKS", "320"))
     uniq = int(os.environ.get("AB_POOL_UNIQUE", "16"))
-    base = production_base()
+    base = production_base(history_size=3)  # artifact predates the m2 tier
     model, v1, v2 = build_prior_pair(base)
     chunks = make_pool(n_chunks, unique=uniq)
     wins = num_windows(100) * n_chunks

@@ -39,7 +39,8 @@ def main():
     chunks_per = int(os.environ.get("AB_CHUNKS", "40"))
     depth = int(os.environ.get("AB_DEPTH", "3"))
 
-    base = production_base(compute_dtype="float32")  # pre-bf16 artifact
+    base = production_base(compute_dtype="float32",  # pre-bf16 artifact
+                           history_size=3)
     model, v1, v2 = build_prior_pair(base)
     opt = SequenceOptimizer(model, v1, v2, base)
     wins = num_windows(100) * chunks_per

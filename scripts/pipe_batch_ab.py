@@ -42,7 +42,7 @@ def main():
     from globalegomocap_tpu.optimize.window import num_windows
 
     uniq = int(os.environ.get("AB_POOL_UNIQUE", "16"))
-    base = production_base()
+    base = production_base(history_size=3)  # artifact predates the m2 tier
     model, v1, v2 = build_prior_pair(base)
     wpc = num_windows(100)
 

@@ -48,7 +48,7 @@ def main():
     wins = num_windows(100) * n_chunks
     out = {"chunks": n_chunks, "results": {}}
 
-    base = production_base()
+    base = production_base(history_size=3)  # artifact predates the m2 tier
     model, v1, v2 = build_prior_pair(base)
 
     # degraded-claim sanity arm first (the harness docstring's rule)

@@ -133,16 +133,17 @@ def main():
                                              global_residual=residual),
                          solver=SolverConfig(method="lbfgs_fixed",
                                              fused_probes=True,
-                                             # round-3 fast tier: 12/m3
-                                             # beats 15/m5 on BOTH metric
-                                             # families (s1iter artifact);
-                                             # the guard restores the
-                                             # robust tier on degraded
-                                             # corpora
+                                             # round-4 fast tier: 12/m2
+                                             # (m2 gate quality_iter_
+                                             # crop_m2*.json passes on
+                                             # v1 + camnoise, +6.6%
+                                             # synced at c320); the
+                                             # guard restores the robust
+                                             # tier on degraded corpora
                                              history_size=int(
                                                  os.environ.get(
                                                      "HEADLINE_HISTORY",
-                                                     "3")),
+                                                     "2")),
                                              max_iter=int(os.environ.get(
                                                  "HEADLINE_MAX_ITER",
                                                  "12")),

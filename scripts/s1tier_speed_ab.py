@@ -25,7 +25,8 @@ def main():
     n_chunks = int(os.environ.get("AB_CHUNKS", "56"))
     tiers = [tuple(int(v) for v in x.split("x")) for x in
              os.environ.get("AB_TIERS", "15x5,12x5,12x3,10x3").split(",")]
-    base = production_base(compute_dtype="float32")  # pre-bf16 artifact
+    base = production_base(compute_dtype="float32",  # pre-bf16 artifact
+                           history_size=3)
     model, v1, v2 = build_prior_pair(base)
     chunks = make_pool(n_chunks)
     wins = num_windows(100) * n_chunks

@@ -28,7 +28,8 @@ def main():
                os.environ.get("AB_S2", "none,8,5,3").split(",")]
     # committed-artifact base: stage-1 tier iter15/m5 (the fast tier
     # landed AFTER s2iter_speed_ab.json was measured)
-    base = production_base(compute_dtype="float32")  # pre-bf16 artifact
+    base = production_base(compute_dtype="float32",  # pre-bf16 artifact
+                           history_size=3)
     base = replace(base, solver=replace(base.solver, history_size=5,
                                         max_iter=15))
     model, v1, v2 = build_prior_pair(base)

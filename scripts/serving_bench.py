@@ -55,7 +55,7 @@ def main():
         energy=EnergyConfig(global_weight_3d=1.0, global_residual=True),
         solver=SolverConfig(method="lbfgs_fixed", fused_probes=True,
                             history_size=int(os.environ.get(
-                                "SERVE_HISTORY", "3")),
+                                "SERVE_HISTORY", "2")),
                             max_iter=int(os.environ.get(
                                 "SERVE_MAX_ITER", "12")),
                             step_candidates=(1.0, 0.1),
