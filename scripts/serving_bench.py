@@ -23,6 +23,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    # re-exec'd after a degraded-session detection: the old process's
+    # tunnel connection dropped at exec; wait out the claim-wedge window
+    # BEFORE this process claims (CLAUDE.md: ~60 s)
+    _sleep = os.environ.pop("SERVE_SANITY_SLEEP", None)
+    if _sleep:
+        time.sleep(float(_sleep))
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -98,6 +105,37 @@ def main():
     warm = opt.stage(batches[0])
     jax.block_until_ready(
         opt.optimize_chunks_batched(warm, mode="flat").optimized)
+
+    # SESSION-HEALTH CALIBRATOR (degraded-claim trap, CLAUDE.md — same
+    # design as bench.py's gate): min-of-3 synced launches of the warm
+    # 40-chunk batch (480 windows at the serving config).  A process
+    # started right after a crashed/killed TPU claim can run far slower
+    # per launch while completing without error; round 4's first
+    # serving re-measure recorded 13.3k w/s sustained in such a session
+    # vs 15.8k committed for a STRICTLY SLOWER stack.  If the launch
+    # exceeds 1.5x the recorded healthy cost, sleep out the claim-wedge
+    # window and re-exec fresh (<=2 retries) instead of recording a
+    # degraded artifact.  SERVE_EXPECTED_LAUNCH_S=0 records-only.
+    calib = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            opt.optimize_chunks_batched(warm, mode="flat").optimized)
+        calib.append(time.perf_counter() - t0)
+    calib_s = min(calib)
+    # healthy constant: 39.0 ms measured for the 480-window warm-batch
+    # synced launch at the round-4 serving stack (the session that
+    # produced the committed serving_bench.json); gate at 1.5x = 60 ms
+    expected = float(os.environ.get("SERVE_EXPECTED_LAUNCH_S", "0.039"))
+    retry = int(os.environ.get("SERVE_SANITY_RETRY", "0"))
+    if expected > 0 and calib_s > 1.5 * expected and retry < 2:
+        print(f"serving_bench: session degraded (launch "
+              f"{calib_s*1e3:.0f} ms vs expected {expected*1e3:.0f} ms);"
+              f" re-exec {retry + 1}/2", file=sys.stderr, flush=True)
+        env = dict(os.environ, SERVE_SANITY_RETRY=str(retry + 1),
+                   SERVE_SANITY_SLEEP="75")
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], env)
 
     def pct(sorted_ms, q):
         return round(sorted_ms[min(len(sorted_ms) - 1,
@@ -175,6 +213,8 @@ def main():
         "chunks_per_batch": chunks_per,
         "windows_per_batch": wins_per_batch,
         "in_flight_depth": depth,
+        "calibration_launch_ms": round(1e3 * calib_s, 1),
+        "calibration_expected_ms": round(1e3 * expected, 1),
         "sustained_windows_per_sec": round(
             n_subs * wins_per_batch / total, 1),
         "total_s": round(total, 3),
