@@ -237,6 +237,12 @@ class OptimizeConfig:
     # intercept is dispatch-bound (intercept_probe_r3.json: merge+smooth
     # 0.81 ms of the ~8 ms in-program intercept), so fewer kernels win.
     matmul_merge: bool = True
+    # solve-time activation dtype (params stay f32).  Tiers, from most to
+    # least f32 (see pipeline.optimize_stage): 'float32' (parity),
+    # 'bfloat16' (the quality-gated MIXED production tier: bf16 solver
+    # evals, f32 encode + f32 output decode/offset), 'bfloat16_f32enc'
+    # (only the encode f32), 'bfloat16_f32head' (only the fc_mu init head
+    # f32 — near-pure speed), 'bfloat16_pure' (everything bf16).
     compute_dtype: str = "float32"
     # stage() segmenting: a single staging program takes one FULL-map
     # argument per chunk, and the AOT compiler accounts each argument

@@ -98,6 +98,16 @@ class ConvVAE(nn.Module):
     dtype: Any = jnp.float32
     # False = BN structurally skipped (pair with fold_batchnorm'd variables)
     use_bn: bool = True
+    # compute dtype of the fc_mu head only (None = `dtype`).  The
+    # optimizer's "bfloat16_f32head" tier sets this to float32 on an
+    # otherwise-bf16 model: the solver-init mu is the ONE bf16 value whose
+    # rounding measurably shifts where a 12-iteration L-BFGS lands
+    # (bench_gap_probe.json localized the pure-bf16 tier's +0.0007
+    # bone-aligned cost to the bf16-encoded init mu), and an f32 fc_mu is
+    # a single 5120x2048 matmul per launch vs the full f32 encode the
+    # mixed tier pays (~12% of launch time).  fc_var stays at `dtype` —
+    # log_var only feeds the optional init='sample' reparameterization.
+    head_dtype: Any = None
     # initial bias of the log-variance head.  The default (0, like the
     # reference's torch Linear init) starts the posterior at std ~= 1, so
     # early training is swamped by z-noise and reconstruction improves only
@@ -113,7 +123,8 @@ class ConvVAE(nn.Module):
                       name=f"enc_{i}")
             for i, h in enumerate(self.hidden_dims)
         ]
-        self.fc_mu = nn.Dense(self.latent_dim, dtype=self.dtype)
+        hd = self.head_dtype if self.head_dtype is not None else self.dtype
+        self.fc_mu = nn.Dense(self.latent_dim, dtype=hd)
         self.fc_var = nn.Dense(
             self.latent_dim, dtype=self.dtype,
             bias_init=nn.initializers.constant(self.logvar_bias_init))

@@ -148,14 +148,23 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     # production MIXED tier (f32 encode + f32 output decode/offset);
     # "bfloat16_f32enc" keeps only the encode f32 (the quality evidence
     # localized the bone drift to the bf16-encoded init mu, NOT the output
-    # decode — quality_iter_crop_bf16*.json); "bfloat16_pure" runs
-    # everything bf16 (the pre-mixed semantics, kept as a speed reference).
+    # decode — quality_iter_crop_bf16*.json); "bfloat16_f32head" narrows
+    # that guard further to the fc_mu head alone (bf16 encoder convs, ONE
+    # f32 5120x2048 matmul; fc_var stays bf16 — log_var only feeds
+    # init='sample') — the full f32 encode costs ~12% of launch time
+    # (bench_gap_probe.json) and the drift enters at the init mu, so an
+    # f32 head may buy near-pure-bf16 speed at mixed-tier quality;
+    # "bfloat16_pure" runs everything bf16 (the pre-mixed semantics, kept
+    # as a speed reference).
     pure_bf16 = cfg.compute_dtype == "bfloat16_pure"
+    f32_head = cfg.compute_dtype == "bfloat16_f32head"
     f32_output = cfg.compute_dtype == "bfloat16"
     f32_model = model
-    if not pure_bf16 and getattr(model, "dtype",
-                                 jnp.float32) != jnp.float32:
-        f32_model = model.clone(dtype=jnp.float32)
+    if getattr(model, "dtype", jnp.float32) != jnp.float32:
+        if f32_head:
+            f32_model = model.clone(head_dtype=jnp.float32)
+        elif not pure_bf16:
+            f32_model = model.clone(dtype=jnp.float32)
     mu, log_var = f32_model.apply(variables, flat, False,
                                   method=ConvVAE.encode)
     if cfg.solver.init == "sample":
@@ -479,35 +488,29 @@ def _unflatten_staged_crops(heatmap_seq, origins, cfg):
     return heatmap_seq.reshape(heatmap_seq.shape[:-1] + (k, k, j))
 
 
-def optimize_chunk(model: ConvVAE, local_variables, global_variables,
-                   estimated_local, camera_seq, heatmap_seq, gt_seq,
-                   camera: fisheye.FisheyeParams,
-                   cfg: OptimizeConfig, origins=None,
-                   full_hw=None) -> ChunkResult:
-    """Run the full two-stage pipeline over one sequence chunk.
+def window_chunk_inputs(estimated_local, camera_seq, heatmap_seq, gt_seq,
+                        camera: fisheye.FisheyeParams, cfg: OptimizeConfig,
+                        origins=None, full_hw=None):
+    """Window (and crop-before-window) one chunk's inputs.
 
-    estimated_local: (N, 15, 3) per-frame camera-space pose estimates.
-    camera_seq:      (N, 4, 4) cam->world matrices (SLAM).
-    heatmap_seq:     (N, H, W, 15) raw per-frame heatmaps (storage layout of
-                     test_data.pkl, reference: process_test_data.py:149-155)
-                     — or (N, k, k, 15) pre-cropped peak windows when
-                     `origins` (N, 15, 2) and `full_hw` are given (crop
-                     extraction done at staging; driver.StagedBatch).
-    gt_seq:          (N, 15, 3) ground truth world-frame poses.
-    """
+    Returns (win_local, win_cam, win_heat, win_gt, win_bl, win_org,
+    full_hw) — everything solve_windows() consumes, all with a leading
+    window axis.  Shared by the single-device pipeline (optimize_chunk)
+    and the window-sharded multi-chip path
+    (parallel.window_shard.optimize_chunk_window_sharded), so the two
+    can never drift.
+
+    Crop the raw per-frame maps BEFORE windowing (a frame's peak crop is
+    window-independent): the full-size maps are read once and the
+    windowing duplication + layout transpose touch only the 16x-smaller
+    crops.  Window-then-crop order cost ~63 ms/launch of pure data motion
+    on the full maps (fixed_cost_probe.json)."""
     seq_len, stride = cfg.window.seq_len, cfg.window.stride
-    local_w, global_w = stage_weights(cfg)
 
-    # window everything: (W, T, ...)
     win_local = slice_windows(estimated_local, seq_len, stride)
     win_cam = slice_windows(camera_seq, seq_len, stride)
     win_gt = slice_windows(gt_seq, seq_len, stride)
 
-    # Crop the raw per-frame maps BEFORE windowing (a frame's peak crop is
-    # window-independent): the full-size maps are read once and the
-    # windowing duplication + layout transpose touch only the 16x-smaller
-    # crops.  Window-then-crop order cost ~63 ms/launch of pure data
-    # motion on the full maps (fixed_cost_probe.json).
     use_reproj = cfg.energy.reproj != 0.0
     win_org = None
     if origins is not None:
@@ -540,6 +543,31 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
     # (reference: optimizer.py:42-43 computes it over the whole chunk)
     chunk_bl = mean_bone_lengths(estimated_local)          # (15,)
     win_bl = jnp.broadcast_to(chunk_bl, (n_win, 15))
+    return (win_local, win_cam, win_heat, win_gt, win_bl, win_org,
+            full_hw)
+
+
+class WindowFields(NamedTuple):
+    """Per-window solved fields, pre-merge (all (W, T, 15, 3))."""
+    est_world: jnp.ndarray
+    mid_world: jnp.ndarray
+    mid_local: jnp.ndarray
+    opt_world: jnp.ndarray
+    gt: jnp.ndarray
+
+
+def solve_windows(model: ConvVAE, local_variables, global_variables,
+                  win_local, win_cam, win_heat, win_gt, win_bl,
+                  camera: fisheye.FisheyeParams, cfg: OptimizeConfig,
+                  win_org=None, full_hw=None) -> WindowFields:
+    """Both optimization stages + coordinate lifts over a window batch —
+    the per-window core of the pipeline, with NO cross-window coupling
+    when cfg.energy.overlap_consistency == 0 (the default).  That
+    data-independence is what the window-sharded multi-chip path exploits
+    (parallel.window_shard): each mesh device runs this on its window
+    shard; only the overlap merge needs a collective."""
+    local_w, global_w = stage_weights(cfg)
+    use_reproj = cfg.energy.reproj != 0.0
 
     # ---- stage 1: local pose, heatmap term on --------------------------
     mid_local_win = optimize_stage(
@@ -563,8 +591,16 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
         global_w, False, _stage2_cfg(cfg),
         residual=cfg.energy.global_residual)
     opt_world = relative_to_global_pose(opt_rel, cam0)
+    return WindowFields(est_world, mid_world, mid_local_win, opt_world,
+                        win_gt)
 
-    # ---- merge overlapping windows -------------------------------------
+
+def merge_window_fields(fields: WindowFields,
+                        cfg: OptimizeConfig) -> ChunkResult:
+    """Overlap-merge the solved window fields into per-frame sequences
+    (+ the final smoothing), the reference's window-averaging step
+    (optimizer.py:425-450)."""
+    stride = cfg.window.stride
     # matmul_merge: each merge is ONE matmul against a static
     # (covered, W*T) matrix, with the final gaussian smoothing folded
     # into the optimized field's matrix (exact re-association)
@@ -577,11 +613,11 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
                 else merge_windows(x, stride))
 
     merged = ChunkResult(
-        estimated=mg(est_world),
-        mid=mg(mid_world),
-        mid_local=mg(mid_local_win),
-        optimized=mg(opt_world, fold_sigma),
-        gt=mg(win_gt),
+        estimated=mg(fields.est_world),
+        mid=mg(fields.mid_world),
+        mid_local=mg(fields.mid_local),
+        optimized=mg(fields.opt_world, fold_sigma),
+        gt=mg(fields.gt),
     )
 
     if cfg.final_smooth and fold_sigma == 0.0:
@@ -595,6 +631,32 @@ def optimize_chunk(model: ConvVAE, local_variables, global_variables,
                 merged.optimized, cfg.final_smooth_sigma, axis=0)
         merged = merged._replace(optimized=smoothed)
     return merged
+
+
+def optimize_chunk(model: ConvVAE, local_variables, global_variables,
+                   estimated_local, camera_seq, heatmap_seq, gt_seq,
+                   camera: fisheye.FisheyeParams,
+                   cfg: OptimizeConfig, origins=None,
+                   full_hw=None) -> ChunkResult:
+    """Run the full two-stage pipeline over one sequence chunk.
+
+    estimated_local: (N, 15, 3) per-frame camera-space pose estimates.
+    camera_seq:      (N, 4, 4) cam->world matrices (SLAM).
+    heatmap_seq:     (N, H, W, 15) raw per-frame heatmaps (storage layout of
+                     test_data.pkl, reference: process_test_data.py:149-155)
+                     — or (N, k, k, 15) pre-cropped peak windows when
+                     `origins` (N, 15, 2) and `full_hw` are given (crop
+                     extraction done at staging; driver.StagedBatch).
+    gt_seq:          (N, 15, 3) ground truth world-frame poses.
+    """
+    (win_local, win_cam, win_heat, win_gt, win_bl, win_org,
+     full_hw) = window_chunk_inputs(estimated_local, camera_seq,
+                                    heatmap_seq, gt_seq, camera, cfg,
+                                    origins, full_hw)
+    fields = solve_windows(model, local_variables, global_variables,
+                           win_local, win_cam, win_heat, win_gt, win_bl,
+                           camera, cfg, win_org=win_org, full_hw=full_hw)
+    return merge_window_fields(fields, cfg)
 
 
 def optimize_chunks_flat(model: ConvVAE, local_variables,

@@ -264,6 +264,28 @@ def main():
                     residual=True, s2_iter=3)
         del os.environ["QIC_COMPUTE_DTYPE"]
         return
+    if only == "f32head":
+        # VERDICT r4 #3: close the pure-bf16 quality gap cheaply — the
+        # pure tier's +0.0007 bone cost is localized to the bf16-encoded
+        # init mu (bench_gap_probe.json), so an f32 fc_mu head on an
+        # otherwise-pure-bf16 solve (compute_dtype=bfloat16_f32head)
+        # should recover mixed-tier bone at near-pure speed.  Gate all
+        # three arms same-session at the FULL production point (m2 tier,
+        # bf16 heat) per corpus: done-bar is f32head bone within +0.0003
+        # of mixed.
+        had_heat = os.environ.get("QIC_HEAT_DTYPE")
+        os.environ.setdefault("QIC_HEAT_DTYPE", "bfloat16")
+        for dt, lbl in (("bfloat16", "mixed"),
+                        ("bfloat16_f32head", "f32head"),
+                        ("bfloat16_pure", "pure")):
+            os.environ["QIC_COMPUTE_DTYPE"] = dt
+            measure(f"dtype_{lbl}_i12_m2_s2_3_fused_res", 12, 8,
+                    history=2, candidates=(1.0, 0.1), fused_energy=True,
+                    residual=True, s2_iter=3)
+        del os.environ["QIC_COMPUTE_DTYPE"]
+        if had_heat is None:
+            del os.environ["QIC_HEAT_DTYPE"]
+        return
     if only == "heat16":
         # bf16 heat crops through the mega-kernel (heat_dtype_ab.json):
         # the only math change is bf16 rounding of crop VALUES (<= 2^-9

@@ -414,3 +414,32 @@ class TestBf16Compute:
         assert out.dtype == jnp.float32
         np.testing.assert_allclose(np.asarray(out), np.asarray(win),
                                    rtol=1e-5, atol=1e-6)
+
+    def test_bf16_f32head_tier(self, chunk):
+        """bfloat16_f32head: bf16 encoder convs + an f32 fc_mu init head
+        (fc_var stays bf16).  The pipeline must run end-to-end and land
+        near the f32 solve; the encode under a head_dtype=f32 clone must
+        return an f32 mu from a bf16 model (the tier's whole point —
+        the init mu never gets bf16-rounded)."""
+        a = self._run(chunk, "float32")
+        b = self._run(chunk, "bfloat16_f32head")
+        assert bool(jnp.all(jnp.isfinite(b.optimized)))
+        diff = float(jnp.mean(jnp.abs(a.optimized - b.optimized)))
+        assert diff < 0.05, diff
+
+        from globalegomocap_tpu.models.conv_vae import ConvVAE
+        cfg = small_cfg(compute_dtype="bfloat16_f32head")
+        model = build_model(cfg)                       # dtype=bf16
+        x = jnp.zeros((1, cfg.prior.seq_len, 45))
+        v = model.init(jax.random.PRNGKey(0), x, False)
+        mu_bf16, lv_bf16 = model.apply(v, x, False, method=ConvVAE.encode)
+        headed = model.clone(head_dtype=jnp.float32)
+        mu_f32, lv_f32 = headed.apply(v, x, False, method=ConvVAE.encode)
+        assert mu_bf16.dtype == jnp.bfloat16
+        assert mu_f32.dtype == jnp.float32
+        assert lv_f32.dtype == jnp.bfloat16   # fc_var untouched
+        # same params, same features: the f32 head must agree with the
+        # bf16 head to bf16 rounding
+        np.testing.assert_allclose(np.asarray(mu_bf16, np.float32),
+                                   np.asarray(mu_f32), rtol=2e-2,
+                                   atol=2e-2)
