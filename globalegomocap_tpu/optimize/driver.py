@@ -242,6 +242,46 @@ class SequenceOptimizer:
             heat,
             jnp.asarray(chunk.gt_global))
 
+    def optimize_chunk_sharded(self, chunk: TestChunk,
+                               cfg: OptimizeConfig | None = None,
+                               mesh=None) -> ChunkResult:
+        """Optimize ONE chunk with its WINDOW axis sharded over the mesh
+        (parallel.window_shard): the single-long-sequence scaling path —
+        chunk-axis sharding (optimize_chunks_batched) cannot give one
+        sequence more than one chip.  The overlap merge runs on an
+        all_gather of the per-shard solved windows (SURVEY §5's design;
+        the reference merge being parallelized: optimizer.py:425-437).
+        Single-device meshes fall through to the plain pipeline."""
+        from globalegomocap_tpu.parallel.mesh import make_mesh
+        from globalegomocap_tpu.parallel.window_shard import (
+            optimize_chunk_window_sharded)
+        heat = jnp.asarray(chunk.heatmaps)
+        if cfg is None:
+            cfg = self._effective_cfg(chunk.heatmaps)
+        if mesh is None:
+            mesh = make_mesh()
+        key = ("win_sharded", cfg.heatmap_crop, cfg.crop_center,
+               heat.shape, mesh.devices.size)
+        if key not in self._jit_cache:
+            def run(lv, gv, est, cams, heat, gt):
+                return optimize_chunk_window_sharded(
+                    self.model, lv, gv, est, cams, heat, gt,
+                    self._camera, cfg, mesh=mesh)
+            self._jit_cache[key] = jax.jit(run)
+        lv, gv = self.local_variables, self.global_variables
+        if self.prior_bank is not None or self.prior_accel_mean is not None:
+            from globalegomocap_tpu.optimize.prior_bank import (
+                motion_accel_stat)
+            lv, gv = self._select_priors(
+                motion_accel_stat(np.asarray(chunk.estimated_local),
+                                  window=self.cfg.prior.seq_len))
+        return self._jit_cache[key](
+            lv, gv,
+            jnp.asarray(chunk.estimated_local),
+            jnp.asarray(chunk.camera_poses),
+            heat,
+            jnp.asarray(chunk.gt_global))
+
     def stage(self, chunks: list[TestChunk],
               coverage: float | None = None,
               on_host: bool = False) -> StagedBatch:

@@ -10,7 +10,11 @@ serial windows).  The TPU-native scaling axes are:
     overlap-averaged merge, happens after gathering).
 
 Both use one mesh axis name, 'dp'.  All helpers degrade gracefully to a
-single device.
+single device.  Two optimization sharding structures build on these
+helpers: the driver's chunk-axis shard_map (many sequences, collective-
+free) and window_shard.optimize_chunk_window_sharded (ONE long sequence:
+per-shard two-stage solve + a tiled all_gather feeding the overlap
+merge).
 """
 
 from __future__ import annotations
