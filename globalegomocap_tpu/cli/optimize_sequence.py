@@ -53,15 +53,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dense/shift decoder weight storage dtype")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16", "bfloat16_f32enc",
-                            "bfloat16_f32head", "bfloat16_pure"],
+                            "bfloat16_f32head", "bfloat16_delta",
+                            "bfloat16_pure"],
                    help="whole-prior activation dtype in the solve "
                         "(params stay f32): bfloat16 = the quality-gated "
                         "MIXED tier (f32 encode + f32 output decode); "
                         "bfloat16_f32enc keeps only the encode f32; "
                         "bfloat16_f32head keeps only the fc_mu init head "
-                        "f32 (near-pure speed); bfloat16_pure runs "
-                        "everything bf16 (speed reference, +0.001 bone "
-                        "cost)")
+                        "f32; bfloat16_delta keeps the f32 encode/output "
+                        "but iterates the solver state in bf16 as a "
+                        "delta around the f32 mu (pure-tier speed, "
+                        "exact init); bfloat16_pure runs everything "
+                        "bf16 (speed reference, +0.001 bone cost)")
     p.add_argument("--overlap_consistency", default=0.0, type=float,
                    help="cross-window coupling weight (joint "
                         "whole-sequence solve when > 0)")

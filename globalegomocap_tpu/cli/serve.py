@@ -54,7 +54,8 @@ def main(argv=None):
     # corpus (quality_iter_crop_bf16*/heat16.json).
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16", "bfloat16_f32enc",
-                            "bfloat16_f32head", "bfloat16_pure"],
+                            "bfloat16_f32head", "bfloat16_delta",
+                            "bfloat16_pure"],
                    help="whole-prior activation dtype in the solve "
                         "(params stay f32); bfloat16 measured +24% "
                         "(c320_dtype_rematch_ab.json); _f32enc/_f32head/"

@@ -242,7 +242,9 @@ class OptimizeConfig:
     # 'bfloat16' (the quality-gated MIXED production tier: bf16 solver
     # evals, f32 encode + f32 output decode/offset), 'bfloat16_f32enc'
     # (only the encode f32), 'bfloat16_f32head' (only the fc_mu init head
-    # f32 — near-pure speed), 'bfloat16_pure' (everything bf16).
+    # f32), 'bfloat16_delta' (f32 encode/output + bf16 SOLVER STATE as a
+    # delta around the f32 mu — the pure tier's speed with an exact
+    # init; dtype_tier_ab.json), 'bfloat16_pure' (everything bf16).
     compute_dtype: str = "float32"
     # stage() segmenting: a single staging program takes one FULL-map
     # argument per chunk, and the AOT compiler accounts each argument

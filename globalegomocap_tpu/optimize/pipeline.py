@@ -155,10 +155,24 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
     # (bench_gap_probe.json) and the drift enters at the init mu, so an
     # f32 head may buy near-pure-bf16 speed at mixed-tier quality;
     # "bfloat16_pure" runs everything bf16 (the pre-mixed semantics, kept
-    # as a speed reference).
+    # as a speed reference); "bfloat16_delta" keeps the mixed tier's f32
+    # encode/output but runs the SOLVER STATE in bf16 as a delta around
+    # the f32 mu — dtype_tier_ab.json showed the pure tier's +9% comes
+    # from the bf16 solver state (z/history/probe arrays are 2048-dim x
+    # batch; halved HBM traffic across every iteration), NOT from the
+    # encode: every f32-mu tier (mixed/f32enc/f32head) measured the same
+    # speed because an f32 mu drags the whole state to f32.  Iterating
+    # dz (init 0) in bf16 keeps the init EXACT and scales the bf16
+    # rounding to ||dz|| << ||mu|| (the drift that cost pure +0.0007
+    # bone was the bf16 accumulation of the iterate at mu's scale);
+    # every energy eval sees bf16 inputs exactly as the mixed tier does
+    # (the bf16 decoder casts its input), and the returned pose is the
+    # f32 decode of mu + dz.  Batched-solver paths only; the vmapped
+    # fallback runs mixed semantics.
     pure_bf16 = cfg.compute_dtype == "bfloat16_pure"
     f32_head = cfg.compute_dtype == "bfloat16_f32head"
-    f32_output = cfg.compute_dtype == "bfloat16"
+    delta_bf16 = cfg.compute_dtype == "bfloat16_delta"
+    f32_output = cfg.compute_dtype in ("bfloat16", "bfloat16_delta")
     f32_model = model
     if getattr(model, "dtype", jnp.float32) != jnp.float32:
         if f32_head:
@@ -236,6 +250,22 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
                    and (s.fused_energy or s.batched_solver)
                    and smoothed is None
                    and float(cfg.energy.overlap_consistency) == 0.0)
+
+    # bf16 delta-state plumbing (see the tier comment above): the solver
+    # iterates z_init = 0 in bf16; _z_eff recenters every probe batch at
+    # the f32 mu before the decode, and _z_star recovers the f32 final
+    # point.  No-ops for every other tier.
+    z_init, delta_c = mu, None
+    if delta_bf16 and use_batched:
+        delta_c = mu.astype(jnp.float32)
+        z_init = jnp.zeros_like(mu, dtype=jnp.bfloat16)
+
+    def _z_eff(z3_):
+        return (z3_ if delta_c is None
+                else z3_.astype(jnp.float32) + delta_c[None])
+
+    def _z_star(x):
+        return x if delta_c is None else delta_c + x.astype(jnp.float32)
     if (use_batched and s.fused_energy and use_reproj
             and origins is not None):
         # MEGA-KERNEL PATH: the whole post-decode energy (value + analytic
@@ -289,7 +319,7 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
             def vg_batch(z3):
                 def batch_energy(z3_):
                     rr, bb = z3_.shape[0], z3_.shape[1]
-                    h0 = (z3_.reshape(rr * bb, latent) @ first_w
+                    h0 = (_z_eff(z3_).reshape(rr * bb, latent) @ first_w
                           + first_b).reshape(rr, bb, t, c0)
                     return fused_decode_stage_energy(
                         h0, dec_layers, anchor_t, crops_cm, f_ox, f_oy,
@@ -303,7 +333,7 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
                 def batch_energy(z3_):
                     rr, bb = z3_.shape[0], z3_.shape[1]
                     pose = decode_batch(
-                        z3_.reshape(rr * bb, latent)).astype(jnp.float32)
+                        _z_eff(z3_).reshape(rr * bb, latent)).astype(jnp.float32)
                     if offset is not None:
                         # residual offset: an XLA elementwise add that
                         # fuses into the decode epilogue
@@ -321,11 +351,11 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
                 return vals, gz
 
         res = lbfgs_minimize_fixed_batched(
-            vg_batch, mu, max_iter=s.max_iter,
+            vg_batch, z_init, max_iter=s.max_iter,
             history_size=s.history_size, lr=s.lr,
             step_candidates=tuple(s.step_candidates),
             unroll=s.unroll)
-        out = decode_out(res.x)
+        out = decode_out(_z_star(res.x))
         return out if offset is None else out + offset
 
     if use_batched and s.fused_energy and not use_reproj:
@@ -353,7 +383,7 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
             def batch_energy(z3_):
                 rr, bb = z3_.shape[0], z3_.shape[1]
                 pose = decode_batch(
-                    z3_.reshape(rr * bb, latent)).astype(jnp.float32)
+                    _z_eff(z3_).reshape(rr * bb, latent)).astype(jnp.float32)
                 poses = pose.reshape(rr, bb, t, 15, 3)
                 if offset is not None:
                     poses = poses + offset[None]
@@ -367,11 +397,11 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
             return vals, gz
 
         res = lbfgs_minimize_fixed_batched(
-            vg_batch, mu, max_iter=s.max_iter,
+            vg_batch, z_init, max_iter=s.max_iter,
             history_size=s.history_size, lr=s.lr,
             step_candidates=tuple(s.step_candidates),
             unroll=s.unroll)
-        out = decode_out(res.x)
+        out = decode_out(_z_star(res.x))
         return out if offset is None else out + offset
 
     if use_batched:
@@ -392,7 +422,7 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
         def vg_batch(z3):
             def batch_energy(z3_):
                 rr, bb = z3_.shape[0], z3_.shape[1]
-                pose = decode_batch(z3_.reshape(rr * bb, latent)).astype(
+                pose = decode_batch(_z_eff(z3_).reshape(rr * bb, latent)).astype(
                     jnp.float32)
                 poses = pose.reshape(rr, bb, t, 15, 3)
                 if offset is not None:
@@ -406,11 +436,11 @@ def optimize_stage(model: ConvVAE, variables, init_pose, heatmaps,
             return vals, gz
 
         res = lbfgs_minimize_fixed_batched(
-            vg_batch, mu, max_iter=s.max_iter,
+            vg_batch, z_init, max_iter=s.max_iter,
             history_size=s.history_size, lr=s.lr,
             step_candidates=tuple(s.step_candidates),
             unroll=s.unroll)
-        out = decode_out(res.x)
+        out = decode_out(_z_star(res.x))
         return out if offset is None else out + offset
 
     # vmap in_axes for the optional per-window context (None = absent)

@@ -45,6 +45,7 @@ def main():
         ("mixed", "bfloat16"),
         ("f32enc", "bfloat16_f32enc"),
         ("f32head", "bfloat16_f32head"),
+        ("delta", "bfloat16_delta"),
         ("pure", "bfloat16_pure"),
     )
     out = {"chunks": n_chunks, "pool_unique": uniq, "windows": wins,

@@ -277,6 +277,7 @@ def main():
         os.environ.setdefault("QIC_HEAT_DTYPE", "bfloat16")
         for dt, lbl in (("bfloat16", "mixed"),
                         ("bfloat16_f32head", "f32head"),
+                        ("bfloat16_delta", "delta"),
                         ("bfloat16_pure", "pure")):
             os.environ["QIC_COMPUTE_DTYPE"] = dt
             measure(f"dtype_{lbl}_i12_m2_s2_3_fused_res", 12, 8,

@@ -415,6 +415,64 @@ class TestBf16Compute:
         np.testing.assert_allclose(np.asarray(out), np.asarray(win),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_bf16_delta_tier(self, chunk):
+        """bfloat16_delta: f32 encode/output, bf16 SOLVER STATE iterated
+        as a delta around the f32 mu.  Needs the batched solver (the
+        production path); must return f32, stay finite, and land near
+        the f32 solve."""
+        cfg = small_cfg(compute_dtype="bfloat16_delta", heatmap_crop=8,
+                        solver=SolverConfig(method="lbfgs_fixed",
+                                            max_iter=4, history_size=3,
+                                            step_candidates=(1.0, 0.1),
+                                            fused_probes=True,
+                                            batched_solver=True))
+        cfg_f32 = small_cfg(compute_dtype="float32", heatmap_crop=8,
+                            solver=cfg.solver)
+        outs = {}
+        for c in (cfg, cfg_f32):
+            model = build_model(c)
+            x = jnp.zeros((1, c.prior.seq_len, 45))
+            v1 = model.init(jax.random.PRNGKey(0), x, False)
+            v2 = model.init(jax.random.PRNGKey(1), x, False)
+            outs[c.compute_dtype] = SequenceOptimizer(
+                model, v1, v2, c).optimize_chunk(chunk)
+        b = outs["bfloat16_delta"]
+        assert b.optimized.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(b.optimized)))
+        diff = float(jnp.mean(jnp.abs(
+            outs["float32"].optimized - b.optimized)))
+        assert diff < 0.05, diff
+
+    def test_bf16_delta_residual_exact_at_init(self, chunk):
+        """Zero solver iterations at the delta tier must return the
+        anchor to f32 precision: dz=0 makes the init exact BY
+        CONSTRUCTION (the tier's reason to exist) even though the state
+        is bf16."""
+        from globalegomocap_tpu.optimize.pipeline import (
+            optimize_stage, stage_weights)
+        from globalegomocap_tpu.optimize.window import slice_windows
+        from globalegomocap_tpu.ops.skeleton import mean_bone_lengths
+        cfg = small_cfg(compute_dtype="bfloat16_delta",
+                        solver=SolverConfig(method="lbfgs_fixed",
+                                            max_iter=0, history_size=3,
+                                            batched_solver=True,
+                                            step_candidates=(1.0, 0.1)))
+        model = build_model(cfg)
+        x = jnp.zeros((1, cfg.prior.seq_len, 45))
+        v = model.init(jax.random.PRNGKey(1), x, False)
+        win = slice_windows(jnp.asarray(chunk.estimated_local), 10, 8)
+        heat = jnp.zeros((win.shape[0], 10, 15, 4, 4), jnp.float32)
+        bl = jnp.broadcast_to(
+            mean_bone_lengths(jnp.asarray(chunk.estimated_local)),
+            (win.shape[0], 15))
+        cam = resolve_camera(cfg)
+        _, global_w = stage_weights(cfg)
+        out = optimize_stage(model, v, win, heat, bl, cam, global_w,
+                             False, cfg, residual=True)
+        assert out.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(out), np.asarray(win),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_bf16_f32head_tier(self, chunk):
         """bfloat16_f32head: bf16 encoder convs + an f32 fc_mu init head
         (fc_var stays bf16).  The pipeline must run end-to-end and land
