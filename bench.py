@@ -101,13 +101,19 @@ STEP_CANDIDATES = tuple(
 # + stage-2 gates pass with metrics a hair BETTER
 # (quality_iter_crop_heat16.json).  Production default since round 4.
 HEATMAP_DTYPE = os.environ.get("BENCH_HEATMAP_DTYPE", "bfloat16")
-# whole-prior activation dtype for the SOLVER'S EVALS (params f32;
-# encode/offset/final-output decode stay f32 — pipeline mixed precision):
-# 27278 vs 21957 w/s synced / 31821 vs 24796 pipelined at c320
-# (c320_dtype_rematch_ab.json), quality-gated on all three corpora
-# (quality_iter_crop_bf16*.json: raw-global IMPROVES on v1+camnoise,
-# bone-aligned +0.0003, v2 neutral-to-better; headline strict gates pass)
-COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
+# whole-prior activation dtype for the SOLVER'S EVALS (params f32).
+# 'bfloat16_delta' (round-5 default) keeps the mixed tier's f32 encode/
+# offset/output but iterates the SOLVER STATE in bf16 as a delta around
+# the f32-exact init mu: dtype_tier_ab.json localized the pure tier's
+# +9% to the solver-state dtype (z/history/probe arrays), not the
+# encode, and the delta tier measures 26222 w/s synced / 29816
+# pipelined at c320 — +14.9% over mixed and ABOVE the all-bf16 pure
+# ceiling (init exact by construction, bf16 rounding scaled to
+# ||dz|| << ||mu||).  Quality-gated per corpus
+# (quality_iter_crop_f32head*.json: bone MATCHES mixed to 1e-5 on
+# clean + camnoise + v2, raw within noise); 'bfloat16' is the round-4
+# mixed tier (c320_dtype_rematch_ab.json, quality_iter_crop_bf16*).
+COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16_delta")
 # > 0: peak-centered k x k heatmap crops, extracted ONCE at staging
 # (the program never reads the full maps).  k=8 default: quality-verified
 # with trained full-size priors on the 5-sequence workload — all

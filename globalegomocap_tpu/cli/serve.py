@@ -52,14 +52,17 @@ def main(argv=None):
     # c320_dtype_rematch_ab.json) and bf16 staged heat crops (f32 math
     # in-kernel, +2.5%, heat_dtype_ab.json) — both quality-gated per
     # corpus (quality_iter_crop_bf16*/heat16.json).
-    p.add_argument("--compute_dtype", default="bfloat16",
+    p.add_argument("--compute_dtype", default="bfloat16_delta",
                    choices=["float32", "bfloat16", "bfloat16_f32enc",
                             "bfloat16_f32head", "bfloat16_delta",
                             "bfloat16_pure"],
                    help="whole-prior activation dtype in the solve "
-                        "(params stay f32); bfloat16 measured +24% "
-                        "(c320_dtype_rematch_ab.json); _f32enc/_f32head/"
-                        "_pure are the narrower mixed-precision tiers")
+                        "(params stay f32); bfloat16_delta iterates the "
+                        "solver state in bf16 around the f32-exact init "
+                        "mu — +14.9% over the mixed tier, bone matches "
+                        "mixed on every gate corpus (dtype_tier_ab.json, "
+                        "quality_iter_crop_f32head*.json); bfloat16 is "
+                        "the round-4 mixed tier (+24% over f32)")
     p.add_argument("--heatmap_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="staged heat-crop storage dtype (kernel math "

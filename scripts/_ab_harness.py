@@ -58,9 +58,12 @@ def production_base(**overrides):
                             step_candidates=(1.0, 0.1),
                             fused_energy=True, unroll=5),
         sampling_impl="dense", heatmap_crop=8,
-        # bf16 solver evals (f32 encode/output), production default
-        # since the c320 rematch + per-corpus quality gates
-        compute_dtype="bfloat16",
+        # bf16 solver STATE as a delta around the f32 mu (f32 encode/
+        # output like the mixed tier): production default since round 5
+        # (dtype_tier_ab.json +14.9% over mixed, beats pure; bone
+        # matches mixed on all three gate corpora,
+        # quality_iter_crop_f32head*.json)
+        compute_dtype="bfloat16_delta",
         # bf16 staged heat crops (f32 kernel math), production default
         # since round 4 (heat_dtype_ab.json + quality_iter_crop_heat16)
         heatmap_dtype="bfloat16",

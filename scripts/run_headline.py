@@ -171,13 +171,15 @@ def main():
                          # reference formulation
                          decoder_impl=os.environ.get("HEADLINE_DECODER",
                                                      "conv"),
-                         # bf16 solver evals, f32 encode/offset/output
-                         # (pipeline mixed precision): +24% synced at
-                         # c320 (c320_dtype_rematch_ab.json); passes
-                         # these strict gates and the per-corpus
-                         # quality_iter_crop_bf16* matrix — default
+                         # bf16 solver state as a delta around the f32
+                         # mu (f32 encode/offset/output like the mixed
+                         # tier): +14.9% over mixed at c320
+                         # (dtype_tier_ab.json); bone matches mixed on
+                         # all three gate corpora
+                         # (quality_iter_crop_f32head*.json) — default
+                         # since round 5
                          compute_dtype=os.environ.get(
-                             "HEADLINE_COMPUTE_DTYPE", "bfloat16"),
+                             "HEADLINE_COMPUTE_DTYPE", "bfloat16_delta"),
                          # bf16 staged heat crops (f32 kernel math):
                          # +2.5% and quality-gated at crop8
                          # (quality_iter_crop_heat16.json); these strict

@@ -76,10 +76,11 @@ def main():
                                                         "3")))),
         sampling_impl="dense", fold_bn=True, dense_decoder=True,
         decoder_impl=os.environ.get("SERVE_DECODER", "conv"),
-        # bf16 solver evals (f32 encode/output): production default since
-        # the c320 rematch + per-corpus quality gates
-        # (c320_dtype_rematch_ab.json, quality_iter_crop_bf16*.json)
-        compute_dtype=os.environ.get("SERVE_COMPUTE_DTYPE", "bfloat16"),
+        # bf16 solver state as a delta around the f32 mu (f32 encode/
+        # output like the mixed tier): production default since round 5
+        # (dtype_tier_ab.json +14.9%, quality_iter_crop_f32head*.json)
+        compute_dtype=os.environ.get("SERVE_COMPUTE_DTYPE",
+                                     "bfloat16_delta"),
         # bf16 staged heat crops (f32 kernel math): +2.5%, quality-gated
         # (heat_dtype_ab.json, quality_iter_crop_heat16.json)
         heatmap_dtype=os.environ.get("SERVE_HEATMAP_DTYPE", "bfloat16"),
