@@ -123,6 +123,13 @@ def main(argv=None):
     from globalegomocap_tpu.data.test_data import (
         list_chunk_dirs, load_test_chunk)
     from globalegomocap_tpu.evaluation.metrics import calculate_errors
+
+    # ONE jitted launch evaluates every chunk of a sequence: the eager
+    # per-chunk path dispatched ~60 tiny ops per chunk through the
+    # tunnel (~25 ms RTT each — ~20 s/sequence at 8 chunks, the whole
+    # serve_e2e pathology); vmap over the chunk axis + jit turns the
+    # metric suite into a single program per batch shape.
+    metrics_batched = jax.jit(jax.vmap(calculate_errors))
     from globalegomocap_tpu.optimize.driver import (
         SequenceOptimizer, build_model)
     from globalegomocap_tpu.optimize.streaming import (
@@ -187,12 +194,10 @@ def main(argv=None):
                "latency_ms": round(1e3 * latency, 1),
                "windows_per_sec": round(wins / latency, 1)}
         if args.with_metrics:
-            errs = [calculate_errors(res.estimated[i], res.mid[i],
-                                     res.optimized[i], res.gt[i])
-                    for i in range(len(chunks))]
+            errs = metrics_batched(res.estimated, res.mid,
+                                   res.optimized, res.gt)
             for key in ("optimized_global_mpjpe", "original_global_mpjpe"):
-                rec[key] = round(float(np.mean(
-                    [np.asarray(e[key]) for e in errs])), 5)
+                rec[key] = round(float(np.mean(np.asarray(errs[key]))), 5)
         if args.save_pose:
             out = os.path.join(args.out_dir, name)
             os.makedirs(out, exist_ok=True)

@@ -1,0 +1,166 @@
+"""Same-session serving batch-shape A/B (the VERDICT r4 #1 attack).
+
+serving_decomp.json located the sustained-serving floor at c40/depth3:
+the SOLVE pipeline alone sustains only ~16.6k w/s (28.9 ms per
+480-window submission) because per-launch overhead (~13 ms of dispatch +
+RTT amortization + readback) is paid every 480 windows, while the c320
+program does the same 480 windows of work in ~16 ms; staging adds only
+~6 ms to the interleaved loop, and the one-program stage+solve fusion
+measured NEGATIVE (fused_loop 37.3 vs 34.6 ms).  The remaining lever is
+amortization: more windows per submission at the SAME queue depth — the
+round-4 c64/depth6 escape (serving_shape_ab.json) tripled p50 by raising
+DEPTH, and its sustained delta was cross-session noise (ADVICE r4).
+
+This script measures the real interleaved stage+solve serving loop
+same-session across batch shapes at depth 3 (plus one depth-2 arm for
+the latency-floor tradeoff), distinct-content submissions, bounded HBM
+via a rotating device-resident chunk pool (repeated pool entries bind
+the same device buffer; launch timing is data-independent at static
+shapes).  Reports sustained w/s and submit->complete latency
+percentiles per arm.
+
+Run on the TPU: python scripts/serving_batch_ab.py
+Writes serving_batch_ab.json.  SB_ARMS="40:3,80:3,112:3,112:2" override.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def pct(sorted_v, q):
+    return sorted_v[min(len(sorted_v) - 1, int(q * len(sorted_v)))]
+
+
+def main():
+    _sleep = os.environ.pop("SERVE_SANITY_SLEEP", None)
+    if _sleep:
+        time.sleep(float(_sleep))
+
+    import jax
+    import jax.numpy as jnp
+
+    from _ab_harness import build_prior_pair, production_base
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.data.test_data import TestChunk
+    from globalegomocap_tpu.optimize.driver import SequenceOptimizer
+    from globalegomocap_tpu.optimize.window import num_windows
+
+    arms = [tuple(int(x) for x in a.split(":"))
+            for a in os.environ.get("SB_ARMS",
+                                    "40:3,80:3,112:3,112:2").split(",")]
+    n_rounds = int(os.environ.get("SB_ROUNDS", "24"))
+    pool_n = int(os.environ.get("SB_POOL", "160"))
+
+    cfg = production_base()
+    model, v1, v2 = build_prior_pair(cfg)
+    opt = SequenceOptimizer(model, v1, v2, cfg)
+
+    # one device-resident pool of distinct chunks; every submission takes
+    # a rotating slice so content differs per submission while HBM stays
+    # bounded (the pool is ~3.9 GB of full maps at 160 chunks)
+    pool = [TestChunk(*(jax.device_put(jnp.asarray(a))
+                        for a in synthetic_chunk(100, seed=500 + i)))
+            for i in range(pool_n)]
+
+    def batch_for(sub, c):
+        start = (sub * 7919) % pool_n          # coprime stride rotation
+        return [pool[(start + j) % pool_n] for j in range(c)]
+
+    # ---- session-health gate at the c40 calibration point ---------------
+    warm = opt.stage(batch_for(0, 40))
+    cov = warm.crop_coverage if warm.crop_coverage is not None else 1.0
+    jax.block_until_ready(
+        opt.optimize_chunks_batched(warm, mode="flat").optimized)
+    calib = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            opt.optimize_chunks_batched(warm, mode="flat").optimized)
+        calib.append(time.perf_counter() - t0)
+    calib_s = min(calib)
+    wins_cal = num_windows(100) * 40
+    expected = float(os.environ.get("SERVE_EXPECTED_LAUNCH_S",
+                                    str(0.024 + 31.25e-6 * wins_cal)))
+    retry = int(os.environ.get("SERVE_SANITY_RETRY", "0"))
+    if expected > 0 and calib_s > 1.5 * expected and retry < 2:
+        print(f"serving_batch_ab: session degraded ({calib_s*1e3:.0f} vs "
+              f"{expected*1e3:.0f} ms); re-exec {retry+1}/2",
+              file=sys.stderr, flush=True)
+        env = dict(os.environ, SERVE_SANITY_RETRY=str(retry + 1),
+                   SERVE_SANITY_SLEEP="75")
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], env)
+    del warm
+
+    out = {"pool_chunks": pool_n, "rounds": n_rounds,
+           "calibration_launch_ms": round(1e3 * calib_s, 1),
+           "calibration_expected_ms": round(1e3 * expected, 1),
+           "session_degraded": bool(expected > 0
+                                    and calib_s > 1.5 * expected),
+           "arms": {}}
+
+    for c, depth in arms:
+        wins = num_windows(100) * c
+        # compile + warm this shape once (stage program + solve program)
+        st = opt.stage(batch_for(0, c), coverage=cov)
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            opt.optimize_chunks_batched(st, mode="flat").optimized)
+        compile_s = time.perf_counter() - t0
+        del st
+
+        # the real serving loop: stage + solve interleaved, FIFO depth
+        # bound, per-submission submit->complete latency (serving_bench
+        # semantics: completion observed when the oldest in-flight result
+        # is blocked on at the depth bound)
+        lat, inflight = [], collections.deque()
+        t_loop = time.perf_counter()
+        for sub in range(n_rounds):
+            t_sub = time.perf_counter()
+            stg = opt.stage(batch_for(sub, c), coverage=cov)
+            res = opt.optimize_chunks_batched(stg, mode="flat")
+            inflight.append((t_sub, res))
+            if len(inflight) > depth:
+                ts, r = inflight.popleft()
+                jax.block_until_ready(r.optimized)
+                lat.append(time.perf_counter() - ts)
+        while inflight:
+            ts, r = inflight.popleft()
+            jax.block_until_ready(r.optimized)
+            lat.append(time.perf_counter() - ts)
+        loop_s = (time.perf_counter() - t_loop) / n_rounds
+        s = sorted(1e3 * x for x in lat)
+        out["arms"][f"c{c}_d{depth}"] = {
+            "chunks": c, "depth": depth, "windows_per_sub": wins,
+            "compile_or_warm_s": round(compile_s, 1),
+            "sustained_ms_per_sub": round(1e3 * loop_s, 2),
+            "sustained_windows_per_sec": round(wins / loop_s, 1),
+            "latency_ms_p50": round(pct(s, 0.5), 1),
+            "latency_ms_p90": round(pct(s, 0.9), 1),
+            "latency_ms_max": round(s[-1], 1),
+        }
+        print(f"c{c}_d{depth}", out["arms"][f"c{c}_d{depth}"], flush=True)
+
+    out["note"] = (
+        "real interleaved stage+solve loop, same session, rotating "
+        "distinct-content submissions from one device pool; latency is "
+        "submit->complete at the FIFO depth bound (serving_bench "
+        "semantics).  The c40_d3 arm is the production serving point; "
+        "compare within this artifact only (cross-session absolutes "
+        "carry ~10% variance)")
+    print(json.dumps(out, indent=1), flush=True)
+    with open(os.path.join(REPO, "serving_batch_ab.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
