@@ -256,6 +256,14 @@ class OptimizeConfig:
     # heat_ceiling_probe.json re-diagnosed the old "solve-temp OOM"
     # (unroll_chunks_flat2.json) as exactly this argument accounting.
     stage_segment_chunks: int = 384
+    # crop-extraction formulation inside the staging program ('gather' =
+    # two chained take_along_axis, 'flat' = one flat-index gather,
+    # 'onehot' = row/col selector matmuls on the MXU) — bit-exact across
+    # impls; serving_batch_ab.json measured sustained serving saturating
+    # at ~15.2k w/s independent of batch shape with the staging program
+    # the growing per-window share, so the extraction op is the attack
+    # surface (stage_impl_ab.json adjudicates the default).
+    stage_crop_impl: str = "gather"
 
 
 @dataclass(frozen=True)

@@ -223,7 +223,55 @@ def crop_heatmaps_at_centers(heatmaps: jnp.ndarray, k: int,
     return crops, origins, (h, w)
 
 
-def crop_heatmaps_channels_last(heatmaps: jnp.ndarray, k: int):
+def _extract_crops_channels_last(heatmaps: jnp.ndarray, k: int,
+                                 oy: jnp.ndarray, ox: jnp.ndarray,
+                                 impl: str = "gather"):
+    """Extract (..., k, k, J) crops at integer origins (oy, ox) from
+    (..., H, W, J) maps — the shared back half of the channels-last crop
+    ops, in one of three exactly-equivalent formulations:
+
+      'gather'  two chained take_along_axis (rows (k, W, J) then cols) —
+                the original; TPU lowers these gathers poorly.
+      'flat'    ONE take_along_axis on the flattened (H*W) axis with
+                precomputed k*k flat indices — k/W-fold less gathered
+                data and a single gather op.
+      'onehot'  row/col one-hot MATMULS (MXU): crops = Oy @ map @ Ox^T
+                per joint — no gather at all; ~55 MFLOP/chunk of
+                trivially-parallel einsum.
+
+    All three read the same values at the same indices (pure gathers /
+    selector products), so staging is bit-exact across impls
+    (tests/test_energy.py::test_crop_impl_equivalence).
+    """
+    h, w = heatmaps.shape[-3], heatmaps.shape[-2]
+    if impl == "flat":
+        flat = heatmaps.reshape(heatmaps.shape[:-3] + (h * w,)
+                                + heatmaps.shape[-1:])
+        idx = ((oy[..., None, None, :] + jnp.arange(k)[:, None, None]) * w
+               + (ox[..., None, None, :] + jnp.arange(k)[None, :, None]))
+        crops = jnp.take_along_axis(
+            flat, idx.reshape(idx.shape[:-3] + (k * k,) + idx.shape[-1:]),
+            axis=-2)
+        return crops.reshape(idx.shape)
+    if impl == "onehot":
+        # row selector (..., J, k, H), col selector (..., J, k, W)
+        ry = oy[..., None] + jnp.arange(k)                  # (..., J, k)
+        rx = ox[..., None] + jnp.arange(k)
+        eye_h = jnp.eye(h, dtype=heatmaps.dtype)
+        eye_w = jnp.eye(w, dtype=heatmaps.dtype)
+        sel_y = eye_h[ry]                                   # (..., J, k, H)
+        sel_x = eye_w[rx]                                   # (..., J, k, W)
+        rows = jnp.einsum("...jkh,...hwj->...jkw", sel_y, heatmaps)
+        crops = jnp.einsum("...jkw,...jcw->...jkc", rows, sel_x)
+        return jnp.moveaxis(crops, -3, -1)                  # (..., k, k, J)
+    iy = oy[..., None, None, :] + jnp.arange(k)[:, None, None]
+    rows = jnp.take_along_axis(heatmaps, iy, axis=-3)      # (..., k, W, J)
+    ix = ox[..., None, None, :] + jnp.arange(k)[None, :, None]
+    return jnp.take_along_axis(rows, ix, axis=-2)          # (..., k, k, J)
+
+
+def crop_heatmaps_channels_last(heatmaps: jnp.ndarray, k: int,
+                                impl: str = "gather"):
     """`crop_heatmaps` for the STORAGE layout (..., H, W, J): crop each
     joint's map around its peak WITHOUT first transposing the full-size
     maps to (..., J, H, W).
@@ -232,9 +280,11 @@ def crop_heatmaps_channels_last(heatmaps: jnp.ndarray, k: int):
     (a frame's peak crop is the same in every sliding window that contains
     the frame), so the pipeline crops the raw per-frame maps FIRST and
     only then windows/transposes the 16x-smaller crops — the full maps
-    are read once (argmax + row gather) and never copied.
+    are read once (argmax + crop extraction) and never copied.
     fixed_cost_probe.json measured the old window-then-crop order's full-
     map windowing+moveaxis as the bulk of a ~63 ms per-launch intercept.
+    `impl` selects the extraction formulation (see
+    _extract_crops_channels_last); all impls are bit-exact.
 
     heatmaps: (..., H, W, J) -> (crops (..., k, k, J),
     origins (..., J, 2) as (oy, ox) float, (H, W)).
@@ -247,16 +297,14 @@ def crop_heatmaps_channels_last(heatmaps: jnp.ndarray, k: int):
     cy, cx = am // w, am % w
     oy = jnp.clip(cy - k // 2, 0, h - k)
     ox = jnp.clip(cx - k // 2, 0, w - k)
-    iy = oy[..., None, None, :] + jnp.arange(k)[:, None, None]
-    rows = jnp.take_along_axis(heatmaps, iy, axis=-3)  # (..., k, W, J)
-    ix = ox[..., None, None, :] + jnp.arange(k)[None, :, None]
-    crops = jnp.take_along_axis(rows, ix, axis=-2)     # (..., k, k, J)
+    crops = _extract_crops_channels_last(heatmaps, k, oy, ox, impl)
     origins = jnp.stack([oy, ox], axis=-1).astype(jnp.float32)
     return crops, origins, (h, w)
 
 
 def crop_heatmaps_at_centers_channels_last(heatmaps: jnp.ndarray, k: int,
-                                           centers: jnp.ndarray):
+                                           centers: jnp.ndarray,
+                                           impl: str = "gather"):
     """`crop_heatmaps_channels_last` with CALLER-SUPPLIED crop centers
     instead of the per-map argmax.
 
@@ -278,10 +326,7 @@ def crop_heatmaps_at_centers_channels_last(heatmaps: jnp.ndarray, k: int,
     c = jnp.round(centers).astype(jnp.int32)
     oy = jnp.clip(c[..., 0] - k // 2, 0, h - k)            # (..., J)
     ox = jnp.clip(c[..., 1] - k // 2, 0, w - k)
-    iy = oy[..., None, None, :] + jnp.arange(k)[:, None, None]
-    rows = jnp.take_along_axis(heatmaps, iy, axis=-3)      # (..., k, W, J)
-    ix = ox[..., None, None, :] + jnp.arange(k)[None, :, None]
-    crops = jnp.take_along_axis(rows, ix, axis=-2)         # (..., k, k, J)
+    crops = _extract_crops_channels_last(heatmaps, k, oy, ox, impl)
     origins = jnp.stack([oy, ox], axis=-1).astype(jnp.float32)
     return crops, origins, (h, w)
 

@@ -394,7 +394,8 @@ class SequenceOptimizer:
         origins) device arrays (heat flat (C, F, k*k*J) when k > 0).
         center='estimate' centers each crop at the projected initial
         estimate instead of the map argmax (the guard-trip fast path)."""
-        key = ("stage_prog", len(chunks), heat_l[0].shape, k, center)
+        impl = getattr(self.cfg, "stage_crop_impl", "gather")
+        key = ("stage_prog", len(chunks), heat_l[0].shape, k, center, impl)
         if key not in self._jit_cache:
             from globalegomocap_tpu.energy.terms import (
                 crop_heatmaps_at_centers_channels_last,
@@ -412,10 +413,11 @@ class SequenceOptimizer:
                                   heat_l[0].shape[-2])
                         cr = [crop_heatmaps_at_centers_channels_last(
                                   h, k, projected_estimate_centers(
-                                      e, cam, hh, ww))[:2]
+                                      e, cam, hh, ww), impl=impl)[:2]
                               for h, e in zip(heat_l, est_l)]
                     else:
-                        cr = [crop_heatmaps_channels_last(h, k)[:2]
+                        cr = [crop_heatmaps_channels_last(
+                                  h, k, impl=impl)[:2]
                               for h in heat_l]
                     # stage crops FLAT (C, F, k*k*J): a 5-D stacked output
                     # forces layout {0,3,4,2,1} on every per-chunk crop

@@ -124,11 +124,36 @@ def main():
         shutil.copytree(os.path.join(src, s), os.path.join(stagedir, s),
                         copy_function=os.link)
 
+    # a WARMUP sequence (same shapes, distinct name) arrives first and is
+    # excluded from the stats: the serve process compiles the c8 solve +
+    # metrics programs on it, so the measured sequences see steady state
+    # (without this, every sequence queued behind the ~60 s first-shape
+    # compile and the aggregate read 5.8 w/s while steady-state
+    # per-sequence records showed 80-200)
+    warm_name = "_warmup"
+    wsrc = os.path.join(stagedir, warm_name)
+    os.makedirs(wsrc, exist_ok=True)
+    for c in range(chunks_per):
+        ch = TestChunk(*synthetic_chunk(100, seed=999_000 + c))
+        d = os.path.join(wsrc, f"data_start_{c*100}_end_{(c+1)*100}")
+        os.makedirs(d, exist_ok=True)
+        save_test_chunk(ch, d)
+
+    t_meas = [None]  # steady-state clock start (set by the feeder)
+
     def feeder():
-        # first arrival after the service is already polling; the rest
-        # arrive faster than the service drains so the pipeline stays fed
-        for i, s in enumerate(sorted(os.listdir(stagedir))):
-            time.sleep(0.5 if i == 0 else 0.1)
+        # warmup arrives first; measured sequences are released only once
+        # the warmup record has been emitted (compiles done)
+        time.sleep(0.5)
+        os.rename(wsrc, os.path.join(root, warm_name))
+        deadline = time.monotonic() + 600
+        while f'"sequence": "{warm_name}"' not in buf.getvalue():
+            if time.monotonic() > deadline:
+                break  # serve died before warmup emitted; release anyway
+            time.sleep(0.2)
+        t_meas[0] = time.perf_counter()
+        for s in sorted(os.listdir(stagedir)):
+            time.sleep(0.1)
             os.rename(os.path.join(stagedir, s), os.path.join(root, s))
 
     # ---- run the serve CLI in-process, capture its JSONL -----------------
@@ -148,23 +173,23 @@ def main():
     argv = ["--data_root", root,
             "--local_ckpt", lp, "--global_ckpt", gp,
             "--watch_interval", "0.2",
-            "--max_batches", str(n_seqs),
+            "--max_batches", str(n_seqs + 1),
             "--out_dir", os.path.join(data_cache, "results"),
             "--save_pose", "false"]
-    t0 = time.perf_counter()
-    th.start()
     old = sys.stdout
     sys.stdout = Tee()
     try:
+        th.start()
         emitted = serve_cli.main(argv)
     finally:
         sys.stdout = old
-    total = time.perf_counter() - t0
-    th.join()
+    total = time.perf_counter() - (t_meas[0] or time.perf_counter())
+    th.join(timeout=10)
 
     recs = [json.loads(ln) for ln in buf.getvalue().splitlines()
             if ln.startswith("{")]
-    seq_recs = [r for r in recs if "windows" in r]
+    seq_recs = [r for r in recs
+                if "windows" in r and r["sequence"] != warm_name]
     wins_total = sum(r["windows"] for r in seq_recs)
     lat = sorted(r["latency_ms"] for r in seq_recs)
 

@@ -303,3 +303,58 @@ def test_staged_guard_fallback_stages_full_maps():
     np.testing.assert_allclose(np.asarray(res.optimized),
                                np.asarray(res0.optimized),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_crop_impl_equivalence():
+    """'flat' and 'onehot' extraction formulations are BIT-exact vs the
+    chained-gather original, for both peak- and estimate-centered crops
+    (they read the same values at the same indices; the one-hot products
+    select exactly one element per output)."""
+    from globalegomocap_tpu.energy.terms import (
+        crop_heatmaps_at_centers_channels_last,
+        crop_heatmaps_channels_last)
+    rng = np.random.default_rng(7)
+    maps = jnp.asarray(rng.random((6, 16, 16, 5), dtype=np.float32))
+    ref_c, ref_o, _ = crop_heatmaps_channels_last(maps, 8, impl="gather")
+    for impl in ("flat", "onehot"):
+        c, o, _ = crop_heatmaps_channels_last(maps, 8, impl=impl)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(ref_c))
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(ref_o))
+    # estimate-centered variant, out-of-range centers clamp identically
+    centers = jnp.asarray(rng.uniform(-3, 19, size=(6, 5, 2)),
+                          dtype=jnp.float32)
+    ref_c, ref_o, _ = crop_heatmaps_at_centers_channels_last(
+        maps, 8, centers, impl="gather")
+    for impl in ("flat", "onehot"):
+        c, o, _ = crop_heatmaps_at_centers_channels_last(
+            maps, 8, centers, impl=impl)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(ref_c))
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(ref_o))
+
+
+def test_stage_crop_impl_config_equivalence():
+    """SequenceOptimizer.stage with stage_crop_impl='flat'/'onehot'
+    stages bit-identical batches to the default gather path."""
+    from globalegomocap_tpu.config import (OptimizeConfig, PriorConfig,
+                                           with_overrides)
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.data.test_data import TestChunk
+    from globalegomocap_tpu.models.conv_vae import ConvVAE
+    from globalegomocap_tpu.optimize.driver import SequenceOptimizer
+
+    cfg = OptimizeConfig(prior=PriorConfig(latent_dim=16, seq_len=10,
+                                           hidden_dims=(8, 8, 16, 16, 32)),
+                         heatmap_crop=8)
+    model = ConvVAE(latent_dim=16, seq_len=10,
+                    hidden_dims=(8, 8, 16, 16, 32))
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    chunks = [TestChunk(*synthetic_chunk(26, seed=i)) for i in range(2)]
+    ref = SequenceOptimizer(model, v, v, cfg).stage(chunks)
+    for impl in ("flat", "onehot"):
+        st = SequenceOptimizer(
+            model, v, v,
+            with_overrides(cfg, stage_crop_impl=impl)).stage(chunks)
+        np.testing.assert_array_equal(np.asarray(st.heat),
+                                      np.asarray(ref.heat))
+        np.testing.assert_array_equal(np.asarray(st.origins),
+                                      np.asarray(ref.origins))
