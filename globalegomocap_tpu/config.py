@@ -259,11 +259,15 @@ class OptimizeConfig:
     # crop-extraction formulation inside the staging program ('gather' =
     # two chained take_along_axis, 'flat' = one flat-index gather,
     # 'onehot' = row/col selector matmuls on the MXU) — bit-exact across
-    # impls; serving_batch_ab.json measured sustained serving saturating
-    # at ~15.2k w/s independent of batch shape with the staging program
-    # the growing per-window share, so the extraction op is the attack
-    # surface (stage_impl_ab.json adjudicates the default).
-    stage_crop_impl: str = "gather"
+    # impls (tests/test_heatmap_crop.py), so this is a pure program
+    # choice.  serving_batch_ab.json measured sustained serving
+    # saturating at ~15.2k w/s independent of batch shape (per-window-
+    # bound, staging the growing share); stage_impl_ab.json (same
+    # healthy session, c112/depth3): the interleaved serving loop runs
+    # 22042 w/s with 'onehot' vs 15172 'gather' (+45%) and 5999 'flat'
+    # — TPU gathers lose to selector matmuls decisively.  Default since
+    # round 5.
+    stage_crop_impl: str = "onehot"
 
 
 @dataclass(frozen=True)
