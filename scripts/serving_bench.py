@@ -50,8 +50,13 @@ def main():
     # n_batches * rounds samples
     n_batches = int(os.environ.get("SERVE_BATCHES", "6"))
     n_rounds = int(os.environ.get("SERVE_ROUNDS", "4"))
-    chunks_per = int(os.environ.get("SERVE_CHUNKS", "40"))
-    depth = int(os.environ.get("SERVE_DEPTH", "3"))
+    # c64/depth2 since round 5: with one-hot staging the per-window
+    # floor saturates by c64 and depth 2 matches depth 3 —
+    # serving_batch_onehot.json measured 22444 w/s at p50 98.7 ms
+    # (vs the round-4 c40/depth3 point's 15095 at 117.5), strictly
+    # dominating on BOTH axes
+    chunks_per = int(os.environ.get("SERVE_CHUNKS", "64"))
+    depth = int(os.environ.get("SERVE_DEPTH", "2"))
 
     # production defaults (match bench.py): fused mega-kernel, residual
     # stage 2, unroll-5 solver scan.  SERVE_FUSED=0 reproduces the
