@@ -138,13 +138,13 @@ UNROLL = int(os.environ.get("BENCH_UNROLL", "5"))
 _s2 = os.environ.get("BENCH_S2_ITER", "3")
 S2_ITER = None if _s2 == "none" else int(_s2)
 # pipelined-mode batch: the synced headline optimum (c320) and the
-# pipelined/serving optimum need not coincide.  At the bf16 production
-# point the pipelined curve is FLAT across c112-c320 (within ~3%,
-# pipe_batch_ab.json) with c112 nominally best and async depth 6 adding
-# ~5% over depth 4 (25860 vs 24676 same-session) — so the pipelined
-# figure is measured at c112/depth6 by default; 0 = reuse the synced
-# batch
-PIPELINE_CHUNKS = int(os.environ.get("BENCH_PIPELINE_CHUNKS", "112"))
+# pipelined/serving optimum need not coincide.  At the round-5 DELTA
+# tier the pipelined curve RISES with chunks again (pipe_batch_ab.json,
+# same-session: c64 24.5k < c112 28.3k < c160 28.4k < c224 28.6k at
+# depth 4; depth 6 at c224 adds +3.4% to 29.5k, depth 8 only +1.4%
+# more) — the pipelined figure is measured at c224/depth6 by default;
+# 0 = reuse the synced batch
+PIPELINE_CHUNKS = int(os.environ.get("BENCH_PIPELINE_CHUNKS", "224"))
 
 # torch-CPU reference-equivalent baseline (windows/sec, two stages), as
 # measured by scripts/measure_torch_baseline.py on this machine; see
