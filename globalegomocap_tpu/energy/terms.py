@@ -241,7 +241,11 @@ def _extract_crops_channels_last(heatmaps: jnp.ndarray, k: int,
 
     All three read the same values at the same indices (pure gathers /
     selector products), so staging is bit-exact across impls
-    (tests/test_energy.py::test_crop_impl_equivalence).
+    (tests/test_heatmap_crop.py::test_crop_impl_equivalence).  The
+    selector einsums pin precision=HIGHEST: at the TPU default matmul
+    precision the MXU truncates inputs to bf16, which would silently
+    round the f32 crop VALUES and break that contract (the selectors
+    are 0/1, so at HIGHEST the products are exact selections).
     """
     h, w = heatmaps.shape[-3], heatmaps.shape[-2]
     if impl == "flat":
@@ -261,8 +265,11 @@ def _extract_crops_channels_last(heatmaps: jnp.ndarray, k: int,
         eye_w = jnp.eye(w, dtype=heatmaps.dtype)
         sel_y = eye_h[ry]                                   # (..., J, k, H)
         sel_x = eye_w[rx]                                   # (..., J, k, W)
-        rows = jnp.einsum("...jkh,...hwj->...jkw", sel_y, heatmaps)
-        crops = jnp.einsum("...jkw,...jcw->...jkc", rows, sel_x)
+        hi = jax.lax.Precision.HIGHEST
+        rows = jnp.einsum("...jkh,...hwj->...jkw", sel_y, heatmaps,
+                          precision=hi)
+        crops = jnp.einsum("...jkw,...jcw->...jkc", rows, sel_x,
+                           precision=hi)
         return jnp.moveaxis(crops, -3, -1)                  # (..., k, k, J)
     iy = oy[..., None, None, :] + jnp.arange(k)[:, None, None]
     rows = jnp.take_along_axis(heatmaps, iy, axis=-3)      # (..., k, W, J)

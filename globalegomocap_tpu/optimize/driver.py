@@ -260,8 +260,12 @@ class SequenceOptimizer:
             cfg = self._effective_cfg(chunk.heatmaps)
         if mesh is None:
             mesh = make_mesh()
-        key = ("win_sharded", cfg.heatmap_crop, cfg.crop_center,
-               heat.shape, mesh.devices.size)
+        # cfg is a frozen dataclass: hash the RESOLVED config so an
+        # explicitly-passed cfg with different solver/energy fields
+        # cannot collide with a cached program compiled for another
+        # (code review r5: the shape-only key silently reused the first
+        # call's closure-captured cfg)
+        key = ("win_sharded", cfg, heat.shape, mesh.devices.size)
         if key not in self._jit_cache:
             def run(lv, gv, est, cams, heat, gt):
                 return optimize_chunk_window_sharded(

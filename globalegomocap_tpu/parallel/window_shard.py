@@ -54,8 +54,8 @@ def optimize_chunk_window_sharded(
     Same argument contract as `pipeline.optimize_chunk` (raw maps, or
     staged crops via `origins`/`full_hw`), same result — equality with the
     single-device path is bitwise up to XLA reassociation (rtol ~1e-5 at
-    f32).  Call under `jax.jit` for production use (driver
-    `SequenceOptimizer.optimize_chunk(window_sharded=True)` caches that)."""
+    f32).  Call under `jax.jit` for production use (the driver method
+    `SequenceOptimizer.optimize_chunk_sharded` caches that)."""
     if float(cfg.energy.overlap_consistency) != 0.0:
         raise ValueError(
             "window-sharded solve requires data-independent windows; the "

@@ -163,3 +163,46 @@ def write_out(out: dict, default_name: str) -> str:
     with open(dest, "w") as f:
         json.dump(out, f, indent=1)
     return dest
+
+
+def session_health_gate(opt, warm_staged, wins_cal: int, script_file: str,
+                        tag: str, mode: str = "flat") -> dict:
+    """The degraded-claim session gate shared by the serving measurement
+    scripts (CLAUDE.md: a process started right after a crashed/killed
+    TPU claim can run ~13x slow while completing without error).
+
+    min-of-3 synced launches of the warm staged batch, compared to the
+    healthy-launch model 24 ms RTT + 31.25 us/window (the round-4 fused
+    production constant — CONSERVATIVE for faster stacks, so the 1.5x
+    threshold only loosens as the stack speeds up).  On a degraded
+    reading the process sleeps out the claim-wedge window and re-execs
+    itself (<=2 retries via SERVE_SANITY_RETRY; callers pop
+    SERVE_SANITY_SLEEP at main() start).  SERVE_EXPECTED_LAUNCH_S
+    overrides the model (0 = record-only).
+
+    Returns {calibration_launch_ms, calibration_expected_ms,
+    session_degraded} for the artifact."""
+    import jax
+
+    calib = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            opt.optimize_chunks_batched(warm_staged, mode=mode).optimized)
+        calib.append(time.perf_counter() - t0)
+    calib_s = min(calib)
+    expected = float(os.environ.get("SERVE_EXPECTED_LAUNCH_S",
+                                    str(0.024 + 31.25e-6 * wins_cal)))
+    retry = int(os.environ.get("SERVE_SANITY_RETRY", "0"))
+    degraded = bool(expected > 0 and calib_s > 1.5 * expected)
+    if degraded and retry < 2:
+        print(f"{tag}: session degraded ({calib_s*1e3:.0f} vs "
+              f"{expected*1e3:.0f} ms); re-exec {retry+1}/2",
+              file=sys.stderr, flush=True)
+        env = dict(os.environ, SERVE_SANITY_RETRY=str(retry + 1),
+                   SERVE_SANITY_SLEEP="75")
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(script_file)], env)
+    return {"calibration_launch_ms": round(1e3 * calib_s, 1),
+            "calibration_expected_ms": round(1e3 * expected, 1),
+            "session_degraded": degraded}

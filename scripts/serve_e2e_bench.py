@@ -84,6 +84,7 @@ def main():
         save_msgpack(v2, gp)
 
     # ---- session-health calibration gate (serving_bench's design) --------
+    from _ab_harness import session_health_gate
     wins_cal = num_windows(100) * 40
     opt = SequenceOptimizer(model, v1, v2, cfg)
     warm = opt.stage([TestChunk(*(jax.device_put(jnp.asarray(a))
@@ -91,24 +92,8 @@ def main():
                       for i in range(40)])
     jax.block_until_ready(
         opt.optimize_chunks_batched(warm, mode="flat").optimized)
-    calib = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(
-            opt.optimize_chunks_batched(warm, mode="flat").optimized)
-        calib.append(time.perf_counter() - t0)
-    calib_s = min(calib)
-    expected = float(os.environ.get("SERVE_EXPECTED_LAUNCH_S",
-                                    str(0.024 + 31.25e-6 * wins_cal)))
-    retry = int(os.environ.get("SERVE_SANITY_RETRY", "0"))
-    if expected > 0 and calib_s > 1.5 * expected and retry < 2:
-        print(f"serve_e2e: session degraded ({calib_s*1e3:.0f} vs "
-              f"{expected*1e3:.0f} ms); re-exec {retry+1}/2",
-              file=sys.stderr, flush=True)
-        env = dict(os.environ, SERVE_SANITY_RETRY=str(retry + 1),
-                   SERVE_SANITY_SLEEP="75")
-        os.execve(sys.executable,
-                  [sys.executable, os.path.abspath(__file__)], env)
+    gate = session_health_gate(opt, warm, wins_cal, __file__,
+                               "serve_e2e")
     del warm
 
     # ---- watch root + arrival feeder -------------------------------------
@@ -183,8 +168,14 @@ def main():
         emitted = serve_cli.main(argv)
     finally:
         sys.stdout = old
-    total = time.perf_counter() - (t_meas[0] or time.perf_counter())
+    wall_end = time.perf_counter()
     th.join(timeout=10)
+    if t_meas[0] is None:
+        print("serve_e2e: serve exited before the warmup sequence was "
+              "emitted — no steady-state window to measure",
+              file=sys.stderr, flush=True)
+        sys.exit(1)
+    total = wall_end - t_meas[0]
 
     recs = [json.loads(ln) for ln in buf.getvalue().splitlines()
             if ln.startswith("{")]
@@ -200,10 +191,7 @@ def main():
         "sequences": n_seqs, "chunks_per_seq": chunks_per,
         "windows_total": wins_total,
         "emitted": emitted,
-        "calibration_launch_ms": round(1e3 * calib_s, 1),
-        "calibration_expected_ms": round(1e3 * expected, 1),
-        "session_degraded": bool(expected > 0
-                                 and calib_s > 1.5 * expected),
+        **gate,
         "wall_s": round(total, 2),
         "sustained_windows_per_sec": round(wins_total / total, 1),
         "seq_latency_ms_p50": pct(0.50),

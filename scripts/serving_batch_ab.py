@@ -76,36 +76,16 @@ def main():
         return [pool[(start + j) % pool_n] for j in range(c)]
 
     # ---- session-health gate at the c40 calibration point ---------------
+    from _ab_harness import session_health_gate
     warm = opt.stage(batch_for(0, 40))
     cov = warm.crop_coverage if warm.crop_coverage is not None else 1.0
     jax.block_until_ready(
         opt.optimize_chunks_batched(warm, mode="flat").optimized)
-    calib = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(
-            opt.optimize_chunks_batched(warm, mode="flat").optimized)
-        calib.append(time.perf_counter() - t0)
-    calib_s = min(calib)
-    wins_cal = num_windows(100) * 40
-    expected = float(os.environ.get("SERVE_EXPECTED_LAUNCH_S",
-                                    str(0.024 + 31.25e-6 * wins_cal)))
-    retry = int(os.environ.get("SERVE_SANITY_RETRY", "0"))
-    if expected > 0 and calib_s > 1.5 * expected and retry < 2:
-        print(f"serving_batch_ab: session degraded ({calib_s*1e3:.0f} vs "
-              f"{expected*1e3:.0f} ms); re-exec {retry+1}/2",
-              file=sys.stderr, flush=True)
-        env = dict(os.environ, SERVE_SANITY_RETRY=str(retry + 1),
-                   SERVE_SANITY_SLEEP="75")
-        os.execve(sys.executable,
-                  [sys.executable, os.path.abspath(__file__)], env)
+    gate = session_health_gate(opt, warm, num_windows(100) * 40,
+                               __file__, "serving_batch_ab")
     del warm
 
-    out = {"pool_chunks": pool_n, "rounds": n_rounds,
-           "calibration_launch_ms": round(1e3 * calib_s, 1),
-           "calibration_expected_ms": round(1e3 * expected, 1),
-           "session_degraded": bool(expected > 0
-                                    and calib_s > 1.5 * expected),
+    out = {"pool_chunks": pool_n, "rounds": n_rounds, **gate,
            "arms": {}}
 
     for c, depth in arms:

@@ -91,31 +91,12 @@ def main():
         opt.optimize_chunks_batched(warm, mode="flat").optimized)
 
     # session-health gate (same design as serving_bench)
-    calib = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(
-            opt.optimize_chunks_batched(warm, mode="flat").optimized)
-        calib.append(time.perf_counter() - t0)
-    calib_s = min(calib)
-    expected = float(os.environ.get("SERVE_EXPECTED_LAUNCH_S",
-                                    str(0.024 + 31.25e-6 * wins)))
-    retry = int(os.environ.get("SERVE_SANITY_RETRY", "0"))
-    if expected > 0 and calib_s > 1.5 * expected and retry < 2:
-        print(f"serving_decomp: session degraded ({calib_s*1e3:.0f} vs "
-              f"{expected*1e3:.0f} ms); re-exec {retry+1}/2",
-              file=sys.stderr, flush=True)
-        env = dict(os.environ, SERVE_SANITY_RETRY=str(retry + 1),
-                   SERVE_SANITY_SLEEP="75")
-        os.execve(sys.executable,
-                  [sys.executable, os.path.abspath(__file__)], env)
+    from _ab_harness import session_health_gate
+    gate = session_health_gate(opt, warm, wins, __file__,
+                               "serving_decomp")
 
     out = {"chunks_per_batch": chunks_per, "windows_per_batch": wins,
-           "depth": depth, "submissions": n_subs,
-           "calibration_launch_ms": round(1e3 * calib_s, 1),
-           "calibration_expected_ms": round(1e3 * expected, 1),
-           "session_degraded": bool(expected > 0
-                                    and calib_s > 1.5 * expected)}
+           "depth": depth, "submissions": n_subs, **gate}
 
     # ---- tunnel RTT ------------------------------------------------------
     tiny = jax.jit(lambda x: x + 1.0)

@@ -67,37 +67,42 @@ def main():
         return [pool[(start + j) % c] for j in range(c)]
 
     # session gate at the c40 point (the modeled calibration shape)
+    from _ab_harness import session_health_gate
     opt0 = SequenceOptimizer(model, v1, v2, base)
     warm = opt0.stage(pool[:40])
     cov = warm.crop_coverage if warm.crop_coverage is not None else 1.0
     jax.block_until_ready(
         opt0.optimize_chunks_batched(warm, mode="flat").optimized)
-    calib = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(
-            opt0.optimize_chunks_batched(warm, mode="flat").optimized)
-        calib.append(time.perf_counter() - t0)
-    calib_s = min(calib)
-    expected = float(os.environ.get("SERVE_EXPECTED_LAUNCH_S",
-                                    str(0.024 + 31.25e-6 * 480)))
-    retry = int(os.environ.get("SERVE_SANITY_RETRY", "0"))
-    if expected > 0 and calib_s > 1.5 * expected and retry < 2:
-        print(f"stage_impl_ab: session degraded ({calib_s*1e3:.0f} vs "
-              f"{expected*1e3:.0f} ms); re-exec {retry+1}/2",
-              file=sys.stderr, flush=True)
-        env = dict(os.environ, SERVE_SANITY_RETRY=str(retry + 1),
-                   SERVE_SANITY_SLEEP="75")
-        os.execve(sys.executable,
-                  [sys.executable, os.path.abspath(__file__)], env)
+    gate = session_health_gate(opt0, warm, 480, __file__,
+                               "stage_impl_ab")
     del warm
 
     out = {"chunks": c, "rounds": n_rounds, "windows_per_sub": wins,
-           "calibration_launch_ms": round(1e3 * calib_s, 1),
-           "calibration_expected_ms": round(1e3 * expected, 1),
-           "session_degraded": bool(expected > 0
-                                    and calib_s > 1.5 * expected),
-           "arms": {}}
+           **gate, "arms": {}}
+
+    # ON-DEVICE bit-exactness across impls at f32 heat storage: the CPU
+    # equivalence tests cannot catch TPU matmul-precision rounding (the
+    # onehot einsums must pin precision=HIGHEST — code review r5), so
+    # assert it where it can actually break.
+    import numpy as np
+    cfg_f32 = with_overrides(base, heatmap_dtype="float32")
+    ref = SequenceOptimizer(
+        model, v1, v2,
+        with_overrides(cfg_f32, stage_crop_impl="gather")).stage(
+        pool[:8], coverage=cov)
+    for impl in ("flat", "onehot"):
+        st = SequenceOptimizer(
+            model, v1, v2,
+            with_overrides(cfg_f32, stage_crop_impl=impl)).stage(
+            pool[:8], coverage=cov)
+        if not (np.array_equal(np.asarray(st.heat), np.asarray(ref.heat))
+                and np.array_equal(np.asarray(st.origins),
+                                   np.asarray(ref.origins))):
+            raise AssertionError(
+                f"staging impl '{impl}' is NOT bit-exact vs gather on "
+                f"this device")
+    out["device_bit_exact"] = True
+    del ref, st
 
     # ---- argmax-only floor: map read + argmax, no extraction -----------
     def argmax_prog(heat_l):
