@@ -278,7 +278,8 @@ def _extract_crops_channels_last(heatmaps: jnp.ndarray, k: int,
 
 
 def crop_heatmaps_channels_last(heatmaps: jnp.ndarray, k: int,
-                                impl: str = "gather"):
+                                impl: str = "gather",
+                                extract_dtype=None):
     """`crop_heatmaps` for the STORAGE layout (..., H, W, J): crop each
     joint's map around its peak WITHOUT first transposing the full-size
     maps to (..., J, H, W).
@@ -293,6 +294,14 @@ def crop_heatmaps_channels_last(heatmaps: jnp.ndarray, k: int,
     `impl` selects the extraction formulation (see
     _extract_crops_channels_last); all impls are bit-exact.
 
+    extract_dtype: when the caller will STORE the crops in a narrower
+    dtype anyway (bf16 staged heat), the EXTRACTION input is cast to it
+    first — the argmax (and therefore the origins) still runs on the
+    full-precision maps, and because extraction is a pure selection,
+    extract(cast(map)) == cast(extract(map)) bit-exactly while the
+    onehot einsums then run on exactly-representable narrow inputs (no
+    HIGHEST multi-pass needed) and the staged write halves.
+
     heatmaps: (..., H, W, J) -> (crops (..., k, k, J),
     origins (..., J, 2) as (oy, ox) float, (H, W)).
     """
@@ -304,14 +313,17 @@ def crop_heatmaps_channels_last(heatmaps: jnp.ndarray, k: int,
     cy, cx = am // w, am % w
     oy = jnp.clip(cy - k // 2, 0, h - k)
     ox = jnp.clip(cx - k // 2, 0, w - k)
-    crops = _extract_crops_channels_last(heatmaps, k, oy, ox, impl)
+    src = heatmaps if extract_dtype is None \
+        else heatmaps.astype(extract_dtype)
+    crops = _extract_crops_channels_last(src, k, oy, ox, impl)
     origins = jnp.stack([oy, ox], axis=-1).astype(jnp.float32)
     return crops, origins, (h, w)
 
 
 def crop_heatmaps_at_centers_channels_last(heatmaps: jnp.ndarray, k: int,
                                            centers: jnp.ndarray,
-                                           impl: str = "gather"):
+                                           impl: str = "gather",
+                                           extract_dtype=None):
     """`crop_heatmaps_channels_last` with CALLER-SUPPLIED crop centers
     instead of the per-map argmax.
 
@@ -333,7 +345,9 @@ def crop_heatmaps_at_centers_channels_last(heatmaps: jnp.ndarray, k: int,
     c = jnp.round(centers).astype(jnp.int32)
     oy = jnp.clip(c[..., 0] - k // 2, 0, h - k)            # (..., J)
     ox = jnp.clip(c[..., 1] - k // 2, 0, w - k)
-    crops = _extract_crops_channels_last(heatmaps, k, oy, ox, impl)
+    src = heatmaps if extract_dtype is None \
+        else heatmaps.astype(extract_dtype)
+    crops = _extract_crops_channels_last(src, k, oy, ox, impl)
     origins = jnp.stack([oy, ox], axis=-1).astype(jnp.float32)
     return crops, origins, (h, w)
 

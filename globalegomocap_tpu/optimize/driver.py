@@ -399,7 +399,17 @@ class SequenceOptimizer:
         center='estimate' centers each crop at the projected initial
         estimate instead of the map argmax (the guard-trip fast path)."""
         impl = getattr(self.cfg, "stage_crop_impl", "gather")
-        key = ("stage_prog", len(chunks), heat_l[0].shape, k, center, impl)
+        # bf16 heat storage happens AT STAGING (round 5): the solve
+        # program's once-per-launch cast (pipeline.py) becomes a no-op,
+        # the staged write/read halves, and the onehot extraction runs
+        # on exactly-representable bf16 inputs.  Bit-identical to the
+        # old stage-f32-then-cast path: the argmax (origins) stays on
+        # the f32 maps, and extraction is a pure selection, so
+        # extract(cast(map)) == cast(extract(map)).
+        hdt = (jnp.bfloat16
+               if self.cfg.heatmap_dtype == "bfloat16" else None)
+        key = ("stage_prog", len(chunks), heat_l[0].shape, k, center,
+               impl, self.cfg.heatmap_dtype)
         if key not in self._jit_cache:
             from globalegomocap_tpu.energy.terms import (
                 crop_heatmaps_at_centers_channels_last,
@@ -417,11 +427,13 @@ class SequenceOptimizer:
                                   heat_l[0].shape[-2])
                         cr = [crop_heatmaps_at_centers_channels_last(
                                   h, k, projected_estimate_centers(
-                                      e, cam, hh, ww), impl=impl)[:2]
+                                      e, cam, hh, ww), impl=impl,
+                                  extract_dtype=hdt)[:2]
                               for h, e in zip(heat_l, est_l)]
                     else:
                         cr = [crop_heatmaps_channels_last(
-                                  h, k, impl=impl)[:2]
+                                  h, k, impl=impl,
+                                  extract_dtype=hdt)[:2]
                               for h in heat_l]
                     # stage crops FLAT (C, F, k*k*J): a 5-D stacked output
                     # forces layout {0,3,4,2,1} on every per-chunk crop
@@ -433,7 +445,12 @@ class SequenceOptimizer:
                                       for c, _ in cr])
                     org = jnp.stack([o for _, o in cr])
                 else:
+                    # full-map (guard-tripped) staging: same cast-at-
+                    # staging contract — the solve's per-launch cast
+                    # no-ops and the staged stack halves
                     heat = jnp.stack(heat_l)
+                    if hdt is not None:
+                        heat = heat.astype(hdt)
                     org = None
                 return est, cams, heat, gt, org
 
@@ -519,6 +536,13 @@ class SequenceOptimizer:
         else:   # guard tripped (or cropping off): stage the full maps
             heat = np.stack([np.asarray(c.heatmaps) for c in chunks])
             origins, full_hw = None, None
+        if cfg.heatmap_dtype == "bfloat16":
+            # same cast-at-staging contract as the device path (crop
+            # VALUES round to bf16 here instead of in the solve launch
+            # — bit-identical downstream) and the host->device transfer
+            # halves
+            import ml_dtypes
+            heat = heat.astype(ml_dtypes.bfloat16)
         est = np.stack([np.asarray(c.estimated_local) for c in chunks])
         cams = np.stack([np.asarray(c.camera_poses) for c in chunks])
         gt = np.stack([np.asarray(c.gt_global) for c in chunks])

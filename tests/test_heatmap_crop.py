@@ -358,3 +358,44 @@ def test_stage_crop_impl_config_equivalence():
                                       np.asarray(ref.heat))
         np.testing.assert_array_equal(np.asarray(st.origins),
                                       np.asarray(ref.origins))
+
+
+def test_stage_bf16_cast_at_staging():
+    """heatmap_dtype='bfloat16' stores staged heat in bf16 AT STAGING,
+    bit-identical to casting the f32-staged crops (extraction is a pure
+    selection, so extract(cast(map)) == cast(extract(map))); origins
+    (argmax) stay those of the f32 maps.  Device and host staging paths
+    agree."""
+    import ml_dtypes
+    from globalegomocap_tpu.config import (OptimizeConfig, PriorConfig,
+                                           with_overrides)
+    from globalegomocap_tpu.data.synthetic import synthetic_chunk
+    from globalegomocap_tpu.data.test_data import TestChunk
+    from globalegomocap_tpu.models.conv_vae import ConvVAE
+    from globalegomocap_tpu.optimize.driver import SequenceOptimizer
+
+    cfg = OptimizeConfig(prior=PriorConfig(latent_dim=16, seq_len=10,
+                                           hidden_dims=(8, 8, 16, 16, 32)),
+                         heatmap_crop=8)
+    model = ConvVAE(latent_dim=16, seq_len=10,
+                    hidden_dims=(8, 8, 16, 16, 32))
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 45)), False)
+    chunks = [TestChunk(*synthetic_chunk(26, seed=i)) for i in range(2)]
+    f32 = SequenceOptimizer(model, v, v, cfg).stage(chunks)
+    cfg16 = with_overrides(cfg, heatmap_dtype="bfloat16")
+    st = SequenceOptimizer(model, v, v, cfg16).stage(chunks)
+    assert st.heat.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(st.heat).astype(np.float32),
+        np.asarray(f32.heat).astype(ml_dtypes.bfloat16)
+        .astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(st.origins),
+                                  np.asarray(f32.origins))
+    host = SequenceOptimizer(model, v, v, cfg16).stage(chunks,
+                                                       on_host=True)
+    assert host.heat.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(host.heat).astype(np.float32),
+        np.asarray(st.heat).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(host.origins),
+                                  np.asarray(st.origins))
